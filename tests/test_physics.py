@@ -1,0 +1,120 @@
+"""Physics parity tests: the JAX integrator vs the actual MuJoCo world.
+
+The reference generates training data with MuJoCo
+(syntheticdataset/helper.py XML + mujocosimulation.py). These tests build
+the same world (textures stripped) and require the JAX physics to track it.
+"""
+import re
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from upliftingtabletennis_tpu.core import physics as P
+
+mujoco = pytest.importorskip("mujoco")
+
+
+@pytest.fixture(scope="module")
+def mj_world(reference_path):
+    src = (reference_path / "syntheticdataset" / "helper.py").read_text()
+    end = src.index('"""', src.index('XML = f"""') + 12) + 3
+    header = src[:end]
+    for bad in ("import mujoco_viewer", "import torch", "import einops as eo"):
+        header = header.replace(bad, "")
+    ns = {}
+    exec(header, ns)
+    xml = ns["XML"]
+    xml = re.sub(r"<asset>.*?</asset>", "", xml, flags=re.S)
+    xml = re.sub(r'(material|texture)="[^"]*"', "", xml)
+    model = mujoco.MjModel.from_xml_string(xml)
+    return model
+
+
+def _mj_rollout(model, r0, v0, w0, n_frames, substeps=2):
+    data = mujoco.MjData(model)
+    data.qpos[0:3] = r0
+    data.qvel[0:3] = v0
+    data.qvel[3:6] = w0
+    mujoco.mj_step(model, data)
+    out_r, out_v, out_w = [], [], []
+    for k in range(n_frames):
+        out_r.append(data.qpos[0:3].copy())
+        out_v.append(data.qvel[0:3].copy())
+        out_w.append(data.qvel[3:6].copy())
+        mujoco.mj_step(model, data, substeps)
+    return np.array(out_r), np.array(out_v), np.array(out_w)
+
+
+def _jax_rollout(r0, v0, w0, n_frames):
+    state0 = P.BallState(
+        jnp.asarray(r0, jnp.float32), jnp.asarray(v0, jnp.float32), jnp.asarray(w0, jnp.float32)
+    )
+    traj = P.simulate(state0, n_frames=n_frames)
+    return np.asarray(traj.r), np.asarray(traj.v), np.asarray(traj.w)
+
+
+def test_free_flight_parity(mj_world):
+    """No contact: drag + Magnus + gravity must track MuJoCo to sub-mm."""
+    cases = [
+        ([0.0, 0, 2.0], [8.0, 1.0, 2.0], [0.0, 300.0, 0.0]),
+        ([1.0, -1, 3.0], [-12.0, 2.0, 1.0], [100.0, -200.0, 400.0]),
+        ([0.0, 0, 5.0], [3.0, 0.0, -1.0], [0.0, 0.0, 0.0]),
+    ]
+    for r0, v0, w0 in cases:
+        n = 100  # 0.2 s
+        mr, mv, mw = _mj_rollout(mj_world, r0, v0, w0, n)
+        jr, jv, jw = _jax_rollout(r0, v0, w0, n)
+        if np.any(mr[:, 2] < P.CONTACT_Z_TABLE + 0.05):
+            continue  # ensure truly contact-free
+        assert np.abs(jr - mr).max() < 2e-3, np.abs(jr - mr).max()
+        assert np.abs(jv - mv).max() < 2e-2, np.abs(jv - mv).max()
+        assert np.abs(jw - mw).max() / max(np.abs(mw).max(), 1) < 1e-2
+
+
+def test_bounce_trajectory_parity(mj_world):
+    """One table bounce: trajectory must track MuJoCo to ~cm over 0.6 s."""
+    # (r0, v0, w0, check_spin): spin checked only for clean single-bounce
+    # cases; multi-contact cases (net clip, combined-spin bounces) keep the
+    # position bound but the small residual spin after friction is noisy.
+    cases = [
+        ([-1.2, 0.1, 1.1], [6.0, -0.3, 0.5], [0.0, 150.0, 0.0], False),   # + net hit
+        ([-1.3, -0.2, 1.2], [5.0, 0.4, 0.2], [0.0, -180.0, 30.0], True),  # backspin
+        ([-1.0, 0.0, 1.0], [7.0, 0.0, 1.0], [80.0, 40.0, -100.0], False),
+        ([-1.5, 0.0, 1.05], [4.5, 0.2, 1.5], [0.0, 220.0, 0.0], True),    # topspin
+    ]
+    for r0, v0, w0, check_spin in cases:
+        n = 300  # 0.6 s
+        mr, mv, mw = _mj_rollout(mj_world, r0, v0, w0, n)
+        jr, jv, jw = _jax_rollout(r0, v0, w0, n)
+        err = np.linalg.norm(jr - mr, axis=-1)
+        assert err.max() < 0.06, (err.max(), r0, v0, w0)
+        if check_spin:
+            rel_w = np.abs(jw[-1] - mw[-1]).max() / max(np.abs(mw[-1]).max(), 1.0)
+            assert rel_w < 0.15, (rel_w, jw[-1], mw[-1])
+
+
+def test_batched_simulation_shapes():
+    B = 64
+    rng = np.random.default_rng(0)
+    state0 = P.BallState(
+        jnp.asarray(rng.uniform(-1, 1, (B, 3)) + np.array([0, 0, 2.0]), jnp.float32),
+        jnp.asarray(rng.uniform(-5, 5, (B, 3)), jnp.float32),
+        jnp.asarray(rng.uniform(-300, 300, (B, 3)), jnp.float32),
+    )
+    traj = P.simulate(state0, n_frames=50)
+    assert traj.r.shape == (50, B, 3)
+    assert np.all(np.isfinite(np.asarray(traj.r)))
+
+
+def test_energy_dissipation():
+    """Ball dropped with no spin loses energy monotonically across bounces."""
+    state0 = P.BallState(
+        jnp.asarray([0.0, 0.0, 1.5]), jnp.asarray([0.0, 0.0, 0.0]), jnp.zeros(3)
+    )
+    traj = P.simulate(state0, n_frames=400)
+    z = np.asarray(traj.r[:, 2])
+    # detect bounce apexes
+    apex = [z[i] for i in range(1, len(z) - 1) if z[i] > z[i - 1] and z[i] > z[i + 1]]
+    assert len(apex) >= 2
+    assert all(b < a for a, b in zip(apex, apex[1:]))

@@ -1,0 +1,427 @@
+"""Vectorized synthetic-trajectory generation replacing MuJoCo datagen.
+
+The reference searches for valid trajectories by rejection sampling, one
+seed per CPU process through the C MuJoCo engine
+(ref: syntheticdataset/mujocosimulation.py:112-238, "several days" for 125k
+trajectories on 96 cores, README.md:94-110). Here the whole pipeline is
+batched JAX: sample B candidate initial conditions -> simulate all with the
+vmapped implicit integrator (core/physics.py) -> validate with vectorized
+predicates -> keep the accepted subset. Thousands of candidates per device
+step; rejection is just a boolean mask.
+
+Semantics preserved from the reference:
+* 6 modes x 2 directions with exact (opponent, own, ground) bounce-count
+  signatures (ref: mujocosimulation.py:206-211).
+* Initial-condition distributions (INIT_* constants, ref: :30-51).
+* Per-frame validity: mode-specific out-of-bounds checks (ref: :124-139)
+  and the in-camera-frame check against the fixed broadcast camera
+  (ref: :140-143, helper.py:45-50).
+* Trajectory cutting rules per mode (ref: :155-196).
+* Net-clearance, max-height, final-side and minimum-length checks
+  (ref: :151-205).
+* Bounce (hit) detection with run-interval midpoint/argmin interpolation
+  (ref: helper.py:282-321).
+
+The "blur" 500 fps arrays saved per trajectory correspond to the reference's
+positions/times/rotations/bounces .npy layout (ref: :241-248).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from upliftingtabletennis_tpu.core import physics as P
+from upliftingtabletennis_tpu.core.geometry import (
+    NET_TOTAL_HEIGHT,
+    NET_TOTAL_WIDTH,
+    TABLE_HEIGHT,
+    TABLE_LENGTH,
+    TABLE_WIDTH,
+    get_Mext,
+    world2img,
+)
+
+# --- fixed broadcast-like simulation camera (ref: helper.py:45-50) ----------
+SIM_WIDTH, SIM_HEIGHT = 1920, 1080
+SIM_FX, SIM_FY = 2033, 2180
+_CAMERA_POS = np.array([0.04381194, 8.92938715, 5.40070126])
+_CAMERA_UP = np.array([7.81340900e-04, -4.33644716e-01, 9.01083598e-01])
+_CAMERA_RIGHT = np.array([-0.99998599, 0.00437903, 0.0029745])
+
+
+def sim_camera():
+    """(Mext 4x4, Mint 3x3) of the fixed MuJoCo camera.
+
+    MuJoCo's cam_xmat columns are (right, up, -forward); the reference
+    flips rows 1..2 to its own convention (ref: helper.py:262-280). Here:
+    forward = -(right x up), then rows are [right; -up; -forward] == the
+    reference's [r; -u; f]... built via get_Mext(c, f, r).
+    """
+    f = -np.cross(_CAMERA_RIGHT, _CAMERA_UP)
+    f = f / np.linalg.norm(f)
+    Mext = get_Mext(jnp.asarray(_CAMERA_POS), jnp.asarray(f), jnp.asarray(_CAMERA_RIGHT))
+    Mint = np.array(
+        [
+            [SIM_FX, 0.0, (SIM_WIDTH - 1) / 2],
+            [0.0, SIM_FY, (SIM_HEIGHT - 1) / 2],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    return jnp.asarray(Mext, jnp.float32), jnp.asarray(Mint, jnp.float32)
+
+
+# --- constants (ref: mujocosimulation.py:30-51) -----------------------------
+MODES = ("intermediate", "final_win", "final_lose", "first_good", "first_short", "first_long")
+DIRECTIONS = ("left_to_right", "right_to_left")
+
+INIT_VEL_SPEED_RANGE = (3.0, 30.0)
+INIT_VEL_PHI_DEV = 60.0  # degrees
+INIT_VEL_THETA_DEV = (25.0, 60.0)
+INIT_ANG_VEL_RANGE = (0.0, 500.0)
+MIN_TRAJ_LEN_FRAMES = 100  # 0.2 s at 500 fps
+MIN_CUT_TIME = 0.2  # MIN_TRAJ_CUT_TIME_RATIO * MAX_SIMULATION_TIME
+MAX_HEIGHT = {"first": 1.4, "other": 1.8}
+NET_CLEAR_X = 0.04
+HIT_Z_TABLE = TABLE_HEIGHT + 0.04
+HIT_Z_GROUND = 0.08
+HIT_X_MARGIN = 0.01
+
+OOB = {  # (x, y, z_min) per mode (ref: :44-51)
+    "final_lose": (6.0, 3.0, -1.0),
+    "final_win": (TABLE_LENGTH / 2, TABLE_WIDTH, 0.7),
+    "intermediate": (4.5, 2.5, -1.0),
+    "first_good": (2.5, 1.5, -1.0),
+    "first_short": (2.5, 1.5, 0.5),
+    "first_long": (2.5, 1.5, -1.0),
+}
+BOUNCE_SIGNATURE = {  # (opponent, own, ground) (ref: :206-211)
+    "final_lose": (0, 0, 0),
+    "final_win": (2, 0, 0),
+    "intermediate": (1, 0, 0),
+    "first_good": (1, 1, 0),
+    "first_short": (0, 2, 0),
+    "first_long": (0, 1, 0),
+}
+MAX_HITS = 4  # fixed slots per hit category (>=3 needed by cutting rules)
+
+N_FRAMES = int(P.MAX_SIMULATION_TIME * P.FPS)  # 500
+
+
+def sample_initial_conditions(key, n, mode: str, direction: str):
+    """Sample n initial (r, v, w) states (ref: _init_simulation, :54-109)."""
+    sign_x = 1.0 if direction == "left_to_right" else -1.0
+    k = jax.random.split(key, 10)
+    first = "first" in mode
+
+    if first:
+        x = jax.random.uniform(k[0], (n,), minval=1.0, maxval=2.5) * sign_x
+        y = jax.random.uniform(k[1], (n,), minval=-1.5, maxval=1.5)
+        z = jax.random.uniform(k[2], (n,), minval=0.8, maxval=1.6)
+    else:
+        x = jax.random.uniform(k[0], (n,), minval=0.1, maxval=4.0) * sign_x
+        y = jax.random.uniform(k[1], (n,), minval=-2.0, maxval=2.0)
+        over_table = (jnp.abs(x) < TABLE_LENGTH / 2) & (jnp.abs(y) < TABLE_WIDTH / 2)
+        z = jnp.where(
+            over_table,
+            jax.random.uniform(k[2], (n,), minval=0.8, maxval=1.8),
+            jax.random.uniform(k[3], (n,), minval=0.5, maxval=1.8),
+        )
+    r = jnp.stack([x, y, z], -1)
+
+    # aim toward the opponent-side target point (ref: :73-90)
+    if first:
+        c_y = jnp.where(y > 0, TABLE_WIDTH / 2, -TABLE_WIDTH / 2)
+        c_x = jnp.full((n,), TABLE_LENGTH / 2 * sign_x)
+    else:
+        c_y = jnp.zeros((n,))
+        c_x = jnp.full((n,), -TABLE_LENGTH / 2 * sign_x)
+    c_z = jnp.full((n,), TABLE_HEIGHT)
+
+    base_phi = 180.0 + jnp.rad2deg(jnp.arctan2(y - c_y, x - c_x))
+    base_theta = 90.0 - jnp.rad2deg(jnp.arctan2(z - c_z, jnp.abs(x - c_x)))
+    below = z < c_z
+    min_theta = jnp.where(
+        below,
+        jnp.maximum(90.0, base_theta - INIT_VEL_THETA_DEV[0]),
+        jnp.maximum(10.0, base_theta - INIT_VEL_THETA_DEV[0]),
+    )
+    max_theta = jnp.where(
+        below,
+        jnp.minimum(170.0, base_theta + INIT_VEL_THETA_DEV[1]),
+        jnp.minimum(150.0, base_theta + INIT_VEL_THETA_DEV[1]),
+    )
+
+    speed = jax.random.uniform(k[4], (n,), minval=INIT_VEL_SPEED_RANGE[0], maxval=INIT_VEL_SPEED_RANGE[1])
+    phi = jnp.deg2rad(
+        jax.random.uniform(k[5], (n,), minval=base_phi - INIT_VEL_PHI_DEV, maxval=base_phi + INIT_VEL_PHI_DEV)
+    )
+    theta = jnp.deg2rad(jax.random.uniform(k[6], (n,), minval=min_theta, maxval=max_theta))
+    v = jnp.stack(
+        [
+            speed * jnp.sin(theta) * jnp.cos(phi),
+            speed * jnp.sin(theta) * jnp.sin(phi),
+            speed * jnp.cos(theta),
+        ],
+        -1,
+    )
+
+    wspeed = jax.random.uniform(k[7], (n,), minval=INIT_ANG_VEL_RANGE[0], maxval=INIT_ANG_VEL_RANGE[1])
+    wphi = jax.random.uniform(k[8], (n,), minval=0.0, maxval=2 * jnp.pi)
+    wtheta = jax.random.uniform(k[9], (n,), minval=0.0, maxval=jnp.pi)
+    w = jnp.stack(
+        [
+            wspeed * jnp.sin(wtheta) * jnp.cos(wphi),
+            wspeed * jnp.sin(wtheta) * jnp.sin(wphi),
+            wspeed * jnp.cos(wtheta),
+        ],
+        -1,
+    )
+    return P.BallState(r, v, w)
+
+
+def _interval_hits(mask, z, valid):
+    """Detect up to MAX_HITS closed True-intervals in mask (B, T) and return
+    (times (B, MAX_HITS), count (B,)) with the reference's hit-time blend
+    0.75 * interval midpoint + 0.25 * argmin-height (ref: helper.py:303-321).
+
+    An interval is only recorded once the mask returns to False within the
+    valid region (run-length semantics of the reference loop).
+    """
+    B, T = mask.shape
+    m = mask & valid
+    prev = jnp.pad(m[:, :-1], ((0, 0), (1, 0)))
+    starts = m & ~prev  # first frame of an interval
+    ends_next = ~m & prev  # frame AFTER an interval end (end index = i-1)
+    # ends must also lie in the valid region (interval closed before cut)
+    ends_next = ends_next & valid
+
+    sid = jnp.cumsum(starts, axis=1)  # interval id (1-based) while inside
+    idx = jnp.arange(T)[None, :]
+
+    times = jnp.zeros((B, MAX_HITS))
+    closed = jnp.zeros((B, MAX_HITS), bool)
+    for h in range(MAX_HITS):
+        in_h = m & (sid == h + 1)
+        start = jnp.min(jnp.where(in_h, idx, T + 1), axis=1)
+        end_next = ends_next & (jnp.cumsum(starts, axis=1) == h + 1)
+        has_end = jnp.any(end_next, axis=1)
+        end = jnp.min(jnp.where(end_next, idx, T + 1), axis=1) - 1
+        zin = jnp.where(in_h & (idx <= end[:, None]), z, jnp.inf)
+        argmin_z = jnp.argmin(zin, axis=1)
+        t_hit = 0.75 * (end + start) / 2.0 / P.FPS + 0.25 * argmin_z / P.FPS
+        times = times.at[:, h].set(jnp.where(has_end, t_hit, 0.0))
+        closed = closed.at[:, h].set(has_end)
+    count = jnp.sum(closed, axis=1)
+    return times, closed, count
+
+
+def count_hits(positions, valid, direction: str):
+    """Vectorized _count_hits (ref: helper.py:282-321).
+
+    positions: (B, T, 3); valid: (B, T) frames before the cut.
+    Returns dict of (times, closed, count) per category.
+    """
+    x, y, z = positions[..., 0], positions[..., 1], positions[..., 2]
+    if direction == "left_to_right":
+        opp = (-HIT_X_MARGIN > x) & (x > -TABLE_LENGTH / 2)
+        own = (TABLE_LENGTH / 2 > x) & (x > HIT_X_MARGIN)
+    else:
+        opp = (TABLE_LENGTH / 2 > x) & (x > HIT_X_MARGIN)
+        own = (-HIT_X_MARGIN > x) & (x > -TABLE_LENGTH / 2)
+    low = z < HIT_Z_TABLE
+    on_y = jnp.abs(y) < TABLE_WIDTH / 2
+    res = {}
+    for name, m in (
+        ("opponent", low & on_y & opp),
+        ("own", low & on_y & own),
+        ("ground", z <= HIT_Z_GROUND),
+    ):
+        res[name] = _interval_hits(m, z, valid)
+    return res
+
+
+def _first_false(mask):
+    """Index of first False along axis 1, or T if none. mask: (B, T)."""
+    T = mask.shape[1]
+    idx = jnp.arange(T)[None, :]
+    return jnp.min(jnp.where(~mask, idx, T), axis=1)
+
+
+@partial(jax.jit, static_argnames=("n", "mode", "direction"))
+def generate_candidates(key, n: int, mode: str, direction: str):
+    """Simulate n candidates and evaluate all validity rules.
+
+    Returns a dict of fixed-shape arrays:
+      positions/velocities/rotations: (n, 500, 3) at 500 fps
+      times: (500,) the save grid
+      frame_valid: (n, 500) frames kept after OOB/in-frame/cut
+      bounces: (n, MAX_HITS) sorted table-hit times (0-padded)
+      n_bounces: (n,)
+      accept: (n,) final acceptance mask
+    """
+    state0 = sample_initial_conditions(key, n, mode, direction)
+    traj = P.simulate(state0)  # time-major (T, n, 3) fields
+    r = jnp.moveaxis(traj.r, 0, 1)  # (n, T, 3)
+    v = jnp.moveaxis(traj.v, 0, 1)
+    w = jnp.moveaxis(traj.w, 0, 1)
+    T = r.shape[1]
+    times = jnp.arange(T, dtype=jnp.float32) / P.FPS
+
+    x, y, z = r[..., 0], r[..., 1], r[..., 2]
+    correct_side = x < 0 if direction == "left_to_right" else x > 0
+
+    # --- per-frame OOB rules (ref: :124-139) ---
+    ox, oy, oz = OOB[mode]
+    box = (jnp.abs(x) > ox) | (jnp.abs(y) > oy)
+    if mode == "final_lose":
+        oob = box
+    elif mode in ("final_win", "intermediate"):
+        oob = correct_side & (box | (z < oz))
+    elif mode == "first_short":
+        oob = box | (z < oz)
+    else:  # first_good, first_long
+        oob = correct_side & box
+
+    # --- in-frame check against the fixed camera (ref: :140-143) ---
+    Mext, Mint = sim_camera()
+    r_img = world2img(r, Mext, Mint)
+    in_frame = jnp.all((r_img >= 0) & (r_img < jnp.asarray([SIM_WIDTH, SIM_HEIGHT])), axis=-1)
+
+    # frames are saved until the first violation (ref loop breaks)
+    ok = ~oob & in_frame
+    n_saved = _first_false(ok)  # (n,)
+    idx = jnp.arange(T)[None, :]
+    saved = idx < n_saved[:, None]
+
+    # --- max height over saved frames (ref: :152-154) ---
+    zmax = jnp.max(jnp.where(saved, z, -jnp.inf), axis=1)
+    max_h = MAX_HEIGHT["first"] if "first" in mode else MAX_HEIGHT["other"]
+    height_ok = zmax <= max_h
+
+    # --- hits on saved frames (ref: :152) ---
+    hits = count_hits(r, saved, direction)
+    (t_opp, c_opp, n_opp) = hits["opponent"]
+    (t_own, c_own, n_own) = hits["own"]
+    (t_gnd, c_gnd, n_gnd) = hits["ground"]
+
+    def cut_at(t_hit, use):
+        """Frame count when cutting strictly before time t_hit (ref: :160)."""
+        n_cut = jnp.sum(jnp.where(saved, times[None, :] < t_hit[:, None], False), axis=1) - 1
+        return jnp.where(use, n_cut, n_saved)
+
+    ge = lambda t, c, i: c[:, i] & (t[:, i] >= MIN_CUT_TIME)  # noqa: E731
+
+    # --- mode-specific cutting (ref: :157-196) ---
+    if mode == "final_lose":
+        use = ge(t_gnd, c_gnd, 0)
+        n_keep = cut_at(t_gnd[:, 0], use)
+        drop_ground = use
+        n_opp_f, n_own_f, n_gnd_f = n_opp, n_own, jnp.where(drop_ground, 0, n_gnd)
+    elif mode == "final_win":
+        use1 = ge(t_opp, c_opp, 2)
+        use2 = ~use1 & ge(t_gnd, c_gnd, 0)
+        n_keep = cut_at(t_opp[:, 2], use1)
+        n_keep = jnp.where(use2, cut_at(t_gnd[:, 0], use2), n_keep)
+        cutted = use1 | use2
+        n_opp_f = jnp.where(use1, jnp.minimum(n_opp, 2), n_opp)
+        n_own_f = n_own
+        n_gnd_f = jnp.where(cutted, 0, n_gnd)
+    elif mode == "intermediate":
+        use = ge(t_gnd, c_gnd, 0)
+        n_keep = cut_at(t_gnd[:, 0], use)
+        n_opp_f, n_own_f, n_gnd_f = n_opp, n_own, jnp.where(use, 0, n_gnd)
+    elif mode == "first_good":
+        use1 = ge(t_opp, c_opp, 1)
+        use2 = ~use1 & ge(t_gnd, c_gnd, 0)
+        n_keep = cut_at(t_opp[:, 1], use1)
+        n_keep = jnp.where(use2, cut_at(t_gnd[:, 0], use2), n_keep)
+        cutted = use1 | use2
+        n_opp_f = jnp.where(use1, jnp.minimum(n_opp, 1), n_opp)
+        n_own_f = n_own
+        n_gnd_f = jnp.where(cutted, 0, n_gnd)
+    elif mode == "first_short":
+        use1 = ge(t_own, c_own, 2)
+        use2 = ~use1 & ge(t_opp, c_opp, 0)
+        use3 = ~use1 & ~use2 & ge(t_gnd, c_gnd, 0)
+        n_keep = cut_at(t_own[:, 2], use1)
+        n_keep = jnp.where(use2, cut_at(t_opp[:, 0], use2), n_keep)
+        n_keep = jnp.where(use3, cut_at(t_gnd[:, 0], use3), n_keep)
+        n_own_f = jnp.where(use1, jnp.minimum(n_own, 2), n_own)
+        n_opp_f = jnp.where(use1 | use2, 0, n_opp)
+        n_gnd_f = jnp.where(use1 | use2 | use3, 0, n_gnd)
+    else:  # first_long
+        use = ge(t_gnd, c_gnd, 0)
+        n_keep = cut_at(t_gnd[:, 0], use)
+        n_opp_f, n_own_f, n_gnd_f = n_opp, n_own, jnp.where(use, 0, n_gnd)
+
+    frame_valid = idx < n_keep[:, None]
+    len_ok = (n_saved >= MIN_TRAJ_LEN_FRAMES) & (n_keep >= MIN_TRAJ_LEN_FRAMES)
+
+    # --- net clearance over kept frames (ref: :198-203) ---
+    near_net = frame_valid & (jnp.abs(x) < NET_CLEAR_X)
+    any_near = jnp.any(near_net, axis=1)
+    max_h_net = jnp.max(jnp.where(near_net, z, -jnp.inf), axis=1)
+    min_w_net = jnp.min(jnp.where(near_net, jnp.abs(y), jnp.inf), axis=1)
+    net_fail = any_near & (max_h_net < NET_TOTAL_HEIGHT) & (min_w_net < NET_TOTAL_WIDTH / 2)
+
+    # --- final-side check (ref: :204-205) ---
+    if mode in ("final_lose", "first_long"):
+        last_idx = jnp.maximum(n_keep - 1, 0)
+        last_x = jnp.take_along_axis(x, last_idx[:, None], axis=1)[:, 0]
+        side_ok = last_x < 0 if direction == "left_to_right" else last_x > 0
+    else:
+        side_ok = jnp.ones((n,), bool)
+
+    # --- bounce-count signature (ref: :206-211) ---
+    sig = BOUNCE_SIGNATURE[mode]
+    sig_ok = (n_opp_f == sig[0]) & (n_own_f == sig[1]) & (n_gnd_f == sig[2])
+
+    accept = len_ok & height_ok & ~net_fail & side_ok & sig_ok
+
+    # sorted table-bounce times, only hits inside the kept region
+    keep_t = n_keep.astype(jnp.float32) / P.FPS
+    all_t = jnp.concatenate([t_opp, t_own], axis=1)
+    all_c = jnp.concatenate([c_opp, c_own], axis=1)
+    all_valid = all_c & (all_t < keep_t[:, None])
+    all_t = jnp.where(all_valid, all_t, jnp.inf)
+    bounces = jnp.sort(all_t, axis=1)[:, :MAX_HITS]
+    n_bounces = jnp.sum(jnp.isfinite(bounces), axis=1)
+    bounces = jnp.where(jnp.isfinite(bounces), bounces, 0.0)
+
+    return {
+        "positions": r,
+        "velocities": v,
+        "rotations": w,
+        "times": times,
+        "frame_valid": frame_valid,
+        "bounces": bounces,
+        "n_bounces": n_bounces,
+        "accept": accept,
+    }
+
+
+def generate_dataset(key, num_trajectories: int, mode: str, direction: str, batch: int = 512):
+    """Keep sampling batches until `num_trajectories` accepted (host loop).
+
+    Returns numpy arrays truncated/stacked to num_trajectories, mirroring the
+    reference's quota loop (ref: get_valid_trajectories, :222-238).
+    """
+    out = {k: [] for k in ("positions", "velocities", "rotations", "frame_valid", "bounces", "n_bounces")}
+    times = None
+    total = 0
+    while total < num_trajectories:
+        key, sub = jax.random.split(key)
+        cand = generate_candidates(sub, batch, mode, direction)
+        acc = np.asarray(cand["accept"])
+        times = np.asarray(cand["times"])
+        sel = np.nonzero(acc)[0]
+        for k in out:
+            out[k].append(np.asarray(cand[k])[sel])
+        total += len(sel)
+    res = {k: np.concatenate(v)[:num_trajectories] for k, v in out.items()}
+    res["times"] = times
+    return res

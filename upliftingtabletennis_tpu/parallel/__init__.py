@@ -1,0 +1,5 @@
+from upliftingtabletennis_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+)
