@@ -22,7 +22,12 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from upliftingtabletennis_tpu.core.geometry import transform_rotation_axes
+from upliftingtabletennis_tpu.core.geometry import (
+    HEIGHT,
+    WIDTH,
+    transform_rotation_axes,
+    world2img,
+)
 
 
 class TrainState(NamedTuple):
@@ -145,3 +150,57 @@ def make_eval_step(model, transform_mode: str = "global"):
         }
 
     return eval_step
+
+
+def make_val2d_step(model, transform_mode: str = "global"):
+    """2D-reprojection validation (ref: val_real, uplifting/train.py:228-299).
+
+    Projects predicted 3D positions through the stored cameras and measures
+    masked-mean pixel distance to the (denormalized) annotated 2D positions;
+    also returns the omega_y spin score for topspin/backspin classification.
+    Inputs follow the TTSTBatch/augmented-sample conventions with r_img
+    normalized to [0, 1].
+    """
+
+    @jax.jit
+    def val2d_step(params, r_img, table_img, mask, times, Mint, Mext):
+        pred_rot, pred_pos = model.apply({"params": params}, r_img, table_img, mask, times)
+        if transform_mode == "global":
+            pred_rot = transform_rotation_axes(pred_rot, pred_pos)
+
+        gt_px = r_img * jnp.asarray([WIDTH, HEIGHT], jnp.float32)
+        pred_px = world2img(pred_pos, Mext[:, None], Mint[:, None])
+        d = jnp.sqrt(jnp.sum((pred_px - gt_px) ** 2, axis=-1) + 1e-12)
+        per_traj = jnp.sum(d * mask, axis=1) / jnp.sum(mask, axis=1)
+        metric_2d = jnp.sum(per_traj)
+        return {"metric_2d": metric_2d, "spin_score": pred_rot[:, 1], "count": r_img.shape[0]}
+
+    return val2d_step
+
+
+def spin_classification_metrics(spin_scores, spin_classes):
+    """Accuracy / macro-F1 / ROC-AUC from omega_y scores vs labels
+    (ref: uplifting/train.py:264-291). numpy, host-side."""
+    import numpy as np
+
+    scores = np.asarray(spin_scores)
+    labels = np.asarray(spin_classes)
+    annotated = (labels == 1) | (labels == 2)
+    y = (labels[annotated] == 1).astype(int)  # topspin=1
+    s = scores[annotated]
+    tp = int(np.sum((y == 1) & (s > 0)))
+    fn = int(np.sum((y == 1) & (s <= 0)))
+    tn = int(np.sum((y == 0) & (s < 0)))
+    fp = int(np.sum((y == 0) & (s >= 0)))
+    total = max(tp + tn + fp + fn, 1)
+    accuracy = (tp + tn) / total
+    f1_plus = 2 * tp / max(2 * tp + fp + fn, 1)
+    f1_minus = 2 * tn / max(2 * tn + fn + fp, 1)
+    macro_f1 = (f1_plus + f1_minus) / 2
+    try:
+        from sklearn.metrics import roc_auc_score
+
+        roc_auc = float(roc_auc_score(y, s)) if len(np.unique(y)) > 1 else float("nan")
+    except Exception:
+        roc_auc = float("nan")
+    return {"accuracy": accuracy, "macro_f1": macro_f1, "roc_auc": roc_auc}
