@@ -1,0 +1,198 @@
+"""SegFormer (MiT-B0/B2) heatmap detector, flax, NHWC, TPU-first.
+
+Rebuilds the reference's primary detection backbone, which it pulls from the
+external hub repo KieDani/SegformerPlusPlus (ref:
+balldetection/models/segformer_pp.py:12-19, tabledetection/models/
+segformer_pp.py:12-19). The architecture is the standard SegFormer
+("SegFormer: Simple and Efficient Design for Semantic Segmentation with
+Transformers", Xie et al. 2021) Mix-Transformer encoder + all-MLP decode
+head:
+
+* 4 stages of overlapping patch embeddings (k7s4 then k3s2) with LayerNorm;
+* efficient self-attention with spatial-reduction ratios (8, 4, 2, 1);
+* MixFFN (fc1 -> 3x3 depthwise conv -> GELU -> fc2);
+* decode head: per-stage linear projection, bilinear upsample to the 1/4
+  scale, concat, 1x1 fuse conv + BN + ReLU, classifier conv.
+
+Wrapper semantics preserved from the reference: widened first patch-embed
+conv for 3*in_frames channels, out_channels 1 (ball) / 13 (table) heatmap
+head, optional visible/invisible classifier from pooled stage-4 features
+(ref: balldetection/models/segformer_pp.py:22-80).
+
+The "++" token-merging (ToMe 'bsm_hq') of the hub repo is a throughput
+optimization on GPU; on TPU, XLA fusion + NHWC convs at bf16 cover the gap.
+A Pallas token-merging pass is tracked as follow-up perf work.
+
+Output heatmap is at 1/4 input resolution; the trainer upsamples logits
+bilinearly to the target size exactly like the reference
+(balldetection/train.py:110-118).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+CFG = {
+    "b0": {"dims": (32, 64, 160, 256), "depths": (2, 2, 2, 2), "decoder_dim": 256},
+    "b1": {"dims": (64, 128, 320, 512), "depths": (2, 2, 2, 2), "decoder_dim": 256},
+    "b2": {"dims": (64, 128, 320, 512), "depths": (3, 4, 6, 3), "decoder_dim": 768},
+    "b3": {"dims": (64, 128, 320, 512), "depths": (3, 4, 18, 3), "decoder_dim": 768},
+    "b4": {"dims": (64, 128, 320, 512), "depths": (3, 8, 27, 3), "decoder_dim": 768},
+    "b5": {"dims": (64, 128, 320, 512), "depths": (3, 6, 40, 3), "decoder_dim": 768},
+}
+HEADS = (1, 2, 5, 8)
+SR_RATIOS = (8, 4, 2, 1)
+MLP_RATIOS = (4, 4, 4, 4)
+
+
+class EfficientAttention(nn.Module):
+    """Self-attention with spatial reduction of K/V (SegFormer eq. 2)."""
+
+    dim: int
+    num_heads: int
+    sr_ratio: int
+
+    @nn.compact
+    def __call__(self, x, H, W):
+        B, N, C = x.shape
+        h = self.num_heads
+        hd = C // h
+        q = nn.Dense(C, name="q")(x).reshape(B, N, h, hd)
+
+        if self.sr_ratio > 1:
+            kv_in = x.reshape(B, H, W, C)
+            kv_in = nn.Conv(
+                C, (self.sr_ratio, self.sr_ratio), strides=(self.sr_ratio, self.sr_ratio),
+                name="sr",
+            )(kv_in)
+            kv_in = kv_in.reshape(B, -1, C)
+            kv_in = nn.LayerNorm(name="sr_norm")(kv_in)
+        else:
+            kv_in = x
+        kv = nn.Dense(2 * C, name="kv")(kv_in).reshape(B, -1, 2, h, hd)
+        k, v = kv[:, :, 0], kv[:, :, 1]
+
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * hd**-0.5
+        w = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, N, C)
+        return nn.Dense(C, name="proj")(o)
+
+
+class MixFFN(nn.Module):
+    dim: int
+    ratio: int
+
+    @nn.compact
+    def __call__(self, x, H, W):
+        B, N, C = x.shape
+        hidden = self.dim * self.ratio
+        y = nn.Dense(hidden, name="fc1")(x)
+        y = y.reshape(B, H, W, hidden)
+        y = nn.Conv(
+            hidden, (3, 3), padding=[(1, 1), (1, 1)], feature_group_count=hidden, name="dwconv"
+        )(y)
+        y = y.reshape(B, N, hidden)
+        y = nn.gelu(y, approximate=False)
+        return nn.Dense(self.dim, name="fc2")(y)
+
+
+class MiTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    sr_ratio: int
+    mlp_ratio: int
+
+    @nn.compact
+    def __call__(self, x, H, W):
+        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        x = x + EfficientAttention(self.dim, self.num_heads, self.sr_ratio, name="attn")(y, H, W)
+        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        x = x + MixFFN(self.dim, self.mlp_ratio, name="ffn")(y, H, W)
+        return x
+
+
+class MiTBackbone(nn.Module):
+    """Mix Transformer encoder: 4 stages at 1/4, 1/8, 1/16, 1/32 scale."""
+
+    size: str = "b2"
+    in_chans: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = CFG[self.size]
+        feats = []
+        for s in range(4):
+            if s == 0:
+                x = nn.Conv(cfg["dims"][0], (7, 7), strides=(4, 4), padding=[(3, 3), (3, 3)],
+                            name="patch_embed_0")(x)
+            else:
+                x = nn.Conv(cfg["dims"][s], (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                            name=f"patch_embed_{s}")(x)
+            B, H, W, C = x.shape
+            x = x.reshape(B, H * W, C)
+            x = nn.LayerNorm(epsilon=1e-6, name=f"patch_norm_{s}")(x)
+            for b in range(cfg["depths"][s]):
+                x = MiTBlock(
+                    cfg["dims"][s], HEADS[s], SR_RATIOS[s], MLP_RATIOS[s],
+                    name=f"stage{s}_block{b}",
+                )(x, H, W)
+            x = nn.LayerNorm(epsilon=1e-6, name=f"stage_norm_{s}")(x)
+            x = x.reshape(B, H, W, C)
+            feats.append(x)
+        return feats
+
+
+def _resize_bilinear(x, hw):
+    return jax.image.resize(x, (x.shape[0], hw[0], hw[1], x.shape[-1]), method="bilinear")
+
+
+class SegFormerHead(nn.Module):
+    """All-MLP decode head -> heatmap at 1/4 input resolution."""
+
+    out_channels: int
+    decoder_dim: int
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, feats):
+        target_hw = feats[0].shape[1:3]
+        proj = []
+        for i, f in enumerate(feats):
+            p = nn.Dense(self.decoder_dim, name=f"linear_c{i}")(f)
+            if i > 0:
+                p = _resize_bilinear(p, target_hw)
+            proj.append(p)
+        x = jnp.concatenate(proj[::-1], axis=-1)
+        x = nn.Conv(self.decoder_dim, (1, 1), use_bias=False, name="linear_fuse")(x)
+        x = nn.BatchNorm(use_running_average=not self.train, momentum=0.9, name="fuse_bn")(x)
+        x = nn.relu(x)
+        return nn.Conv(self.out_channels, (1, 1), name="conv_seg")(x)
+
+
+class SegFormerNet(nn.Module):
+    """Ball (out=1, in_frames=3) / table (out=13, in_frames=1) detector.
+
+    Input NHWC (B, H, W, 3*in_frames); output (heatmap (B, H/4, W/4, out),
+    optional visible/invisible logits).
+    """
+
+    out_channels: int = 1
+    in_frames: int = 3
+    model_size: str = "b2"
+    classify_invisible: bool = False
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        feats = MiTBackbone(self.model_size, 3 * self.in_frames, name="backbone")(x)
+        heat = SegFormerHead(
+            self.out_channels, CFG[self.model_size]["decoder_dim"], self.train, name="decode_head"
+        )(feats)
+        cls_out = None
+        if self.classify_invisible:
+            pooled = jnp.mean(feats[-1], axis=(1, 2))
+            cls_out = nn.Dense(2, name="visible_classification")(pooled)
+        return heat, cls_out

@@ -78,6 +78,73 @@ def port_uplifting_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     return params
 
 
+def port_cnn_state_dict(state_dict: Mapping[str, Any], flax_variables) -> Dict[str, Any]:
+    """Port a torch CNN state_dict into a flax variables dict (params +
+    batch_stats) whose module names flatten to the same underscore-joined
+    paths as the torch keys (the convention used by models/hrnet.py and
+    models/vit.py).
+
+    Matching: every flax leaf path (joined with '_', with kernel->weight,
+    scale->weight, mean->running_mean, var->running_var) must equal a torch
+    key with '.' replaced by '_'. Conv kernels are transposed OIHW->HWIO,
+    ConvTranspose IOHW->HWIO, Linear (out,in)->(in,out).
+    """
+    import jax
+
+    flat_torch = {}
+    for k, v in state_dict.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        arr = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        flat_torch[k.replace(".", "_")] = arr
+
+    used = set()
+
+    def convert(path_parts, leaf, collection):
+        parts = [str(p) for p in path_parts]
+        leaf_name = parts[-1]
+        if collection == "params":
+            if leaf_name == "kernel":
+                tname = "_".join(parts[:-1] + ["weight"])
+                arr = flat_torch[tname]
+                used.add(tname)
+                if arr.ndim == 4:
+                    if leaf.shape == arr.transpose(2, 3, 1, 0).shape:
+                        return arr.transpose(2, 3, 1, 0)  # conv OIHW->HWIO
+                    return arr.transpose(2, 3, 0, 1)  # convT IOHW->HWIO
+                return arr.T  # linear
+            if leaf_name == "scale":
+                tname = "_".join(parts[:-1] + ["weight"])
+                used.add(tname)
+                return flat_torch[tname]
+            if leaf_name == "bias":
+                tname = "_".join(parts[:-1] + ["bias"])
+                used.add(tname)
+                return flat_torch[tname]
+            # embeddings / cls tokens etc: same name
+            tname = "_".join(parts)
+            used.add(tname)
+            arr = flat_torch[tname]
+            return arr.reshape(leaf.shape) if arr.shape != leaf.shape else arr
+        else:  # batch_stats
+            stat = {"mean": "running_mean", "var": "running_var"}[leaf_name]
+            tname = "_".join(parts[:-1] + [stat])
+            used.add(tname)
+            return flat_torch[tname]
+
+    out = {}
+    for collection, tree in flax_variables.items():
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        new = {}
+        for path, leaf in flat:
+            parts = tuple(getattr(p, "key", getattr(p, "idx", None)) for p in path)
+            val = convert(parts, leaf, collection)
+            assert val.shape == leaf.shape, (parts, val.shape, leaf.shape)
+            _set_path(new, parts, val.astype(np.float32))
+        out[collection] = new
+    return out
+
+
 def load_reference_checkpoint(path: str):
     """Load a reference .pt checkpoint and return (flax_params, additional_info).
 
