@@ -1,0 +1,215 @@
+"""Detection-model training driver (ball + table), CLI.
+
+TPU-native equivalent of `python -m balldetection.train` /
+`python -m tabledetection.train` (ref: balldetection/train.py:42-277,
+tabledetection/train.py:38-231):
+
+  python -m upliftingtabletennis_tpu.train.run_detection \
+      --task ball --model segformerpp_b2 --data_root <root with tthq/>
+
+Semantics preserved: Adam lr 1e-3, grad clip 5.0, EMA 0.999, weighted-MSE
+loss on logits bilinearly upscaled to the 1920x1080 evaluation resolution,
+periodic validation every VAL_ITERATIONS with best-PCK@5 checkpointing
+(ref: balldetection/train.py:93-141, 133-139). The classification loss is
+wired with weight 0 exactly like the reference (train.py:96-97).
+
+TPU-native differences: augmentation + heatmap rendering + loss run fused
+on device; the host only decodes PNGs (threaded prefetch).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", choices=["ball", "table"], default="ball")
+    p.add_argument("--model", type=str, default="segformerpp_b2")
+    p.add_argument("--data_root", type=str, required=True)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--num_epochs", type=int, default=50)
+    p.add_argument("--val_iterations", type=int, default=500)
+    p.add_argument("--ema_decay", type=float, default=0.999)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--save_dir", type=str, default="saved_models")
+    p.add_argument("--logdir", type=str, default="runs")
+    p.add_argument("--max_steps", type=int, default=None, help="debug cap")
+    p.add_argument("--resolution", type=int, nargs=2, default=None,
+                   help="override model input resolution W H (debug/smoke)")
+    p.add_argument("--eval_resolution", type=int, nargs=2, default=None,
+                   help="override 1920x1080 eval resolution (debug/smoke)")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from upliftingtabletennis_tpu.data import detection as D
+    from upliftingtabletennis_tpu.data.image_transforms import (
+        ImageAugmentConfig,
+        augment_detection_batch,
+    )
+    from upliftingtabletennis_tpu.eval import metrics as M
+    from upliftingtabletennis_tpu.models.factory import get_detector
+    from upliftingtabletennis_tpu.ops.peak import extract_peaks
+    from upliftingtabletennis_tpu.utils.checkpoint import save_checkpoint
+
+    task = args.task
+    model, (MW, MH) = get_detector(args.model, task, train=True)
+    eval_model, _ = get_detector(args.model, task, train=False)
+    if args.resolution:
+        MW, MH = args.resolution
+    EW, EH = args.eval_resolution or (D.EVAL_WIDTH, D.EVAL_HEIGHT)
+
+    # Flip would swap left/right table keypoint identities -> disabled for
+    # the table task (ref: tabledetection/transforms.py:53)
+    aug_cfg = ImageAugmentConfig(flip_prob=0.5 if task == "ball" else 0.0)
+
+    if task == "ball":
+        index_tr = D.load_tthq_ball_index(args.data_root, "train")
+        index_va = D.load_tthq_ball_index(args.data_root, "val")
+        load = D.load_ball_batch
+    else:
+        index_tr = D.load_tthq_table_index(args.data_root, "train")
+        index_va = D.load_tthq_table_index(args.data_root, "val")
+
+        def load(root, samples):
+            imgs, kps, vis = D.load_table_batch(root, samples)
+            return imgs, kps, vis
+
+    print(f"[data] {len(index_tr)} train / {len(index_va)} val samples")
+
+    rng = jax.random.PRNGKey(args.seed)
+    example = jnp.zeros((args.batch_size, MH, MW, 9 if task == "ball" else 3))
+    variables = model.init(rng, example)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    ema_params = params
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(args.lr))
+    opt_state = tx.init(params)
+
+    n_points = 1 if task == "ball" else 13
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, ema, key, images, coords, vis):
+        """images raw [0,255] at source res; coords in source px."""
+        k1, k2, k_drop = jax.random.split(key, 3)
+        imgs, c_model, v = augment_detection_batch(
+            k1, images, coords, vis, (MW, MH), aug_cfg, True
+        )
+        # coords at eval res for the target heatmap (ref: train flow)
+        c_eval = jnp.stack(
+            [(c_model[..., 0] + 0.5) * EW / MW - 0.5, (c_model[..., 1] + 0.5) * EH / MH - 0.5],
+            -1,
+        )
+        target = M.render_gaussian_heatmaps(c_eval, v, EH, EW, 6.0)  # (B, P, EH, EW)
+
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                imgs,
+                mutable=["batch_stats"] if batch_stats else [],
+                rngs={"dropout": k_drop},
+            )
+            (heat, cls_out), new_state = out if batch_stats else (out, {})
+            logits = jnp.moveaxis(heat, -1, 1)  # (B, P, h, w)
+            logits = jax.image.resize(logits, (*logits.shape[:2], EH, EW), "bilinear")
+            loss = M.weighted_mse_loss(logits, target)
+            return loss, new_state
+
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ema = jax.tree.map(lambda e, q: args.ema_decay * e + (1 - args.ema_decay) * q, ema, params)
+        bs = new_state.get("batch_stats", batch_stats)
+        return params, bs, opt_state, ema, loss
+
+    @jax.jit
+    def infer(params, batch_stats, images, coords, vis, key):
+        imgs, c_model, v = augment_detection_batch(
+            key, images, coords, vis, (MW, MH), aug_cfg, False
+        )
+        vars_ = {"params": params}
+        if batch_stats:
+            vars_["batch_stats"] = batch_stats
+        heat, _ = eval_model.apply(vars_, imgs)
+        heat = jnp.moveaxis(heat, -1, 1)  # (B, P, h, w)
+        preds = extract_peaks(heat, EW, EH, threshold=-jnp.inf if task == "ball" else 0.1)
+        c_eval = jnp.stack(
+            [(c_model[..., 0] + 0.5) * EW / MW - 0.5, (c_model[..., 1] + 0.5) * EH / MH - 0.5],
+            -1,
+        )
+        gts = jnp.concatenate([c_eval, v[..., None]], -1)
+        return preds, gts
+
+    def validate(ema, batch_stats, key):
+        preds_all, gts_all = [], []
+        for s in range(0, min(len(index_va), 64), args.batch_size):
+            batch = index_va[s : s + args.batch_size]
+            if len(batch) < args.batch_size:
+                break
+            imgs, coords, vis = load(args.data_root, batch)
+            preds, gts = infer(
+                ema, batch_stats, jnp.asarray(imgs), jnp.asarray(coords), jnp.asarray(vis), key
+            )
+            preds_all.append(np.asarray(preds))
+            gts_all.append(np.asarray(gts))
+        if not preds_all:
+            return {}
+        preds = np.concatenate(preds_all).reshape(-1, n_points, 3)
+        gts = np.concatenate(gts_all).reshape(-1, n_points, 3)
+        out = {}
+        for tol in (2, 5, 10, 20):
+            if task == "ball":
+                pq = preds.reshape(-1, 3)
+                gq = gts.reshape(-1, 3)
+                out[f"pck{tol}"] = float(M.pck_ball(pq, gq[:, :2], gq[:, :2], gq[:, :2], tol))
+            else:
+                out[f"pck{tol}"] = float(M.pck_keypoints(preds, gts, tol))
+        return out
+
+    identifier = f"{task}_{args.model}_{time.strftime('%m%d%Y-%H%M%S')}"
+    hparams = {"task": task, "model": args.model, "lr": args.lr, "batch_size": args.batch_size,
+               "resolution": [MW, MH], "in_frames": 3 if task == "ball" else 1}
+    best_pck5 = -1.0
+    it = 0
+    steps_per_epoch = len(index_tr) // args.batch_size
+    rng_np = np.random.default_rng(args.seed)
+    for epoch in range(args.num_epochs):
+        order = rng_np.permutation(len(index_tr))
+
+        def make_batch(i):
+            sel = [index_tr[j] for j in order[i * args.batch_size : (i + 1) * args.batch_size]]
+            return load(args.data_root, sel)
+
+        for imgs, coords, vis in D.Prefetcher(make_batch, steps_per_epoch):
+            rng, k = jax.random.split(rng)
+            params, batch_stats, opt_state, ema_params, loss = train_step(
+                params, batch_stats, opt_state, ema_params,
+                k, jnp.asarray(imgs), jnp.asarray(coords), jnp.asarray(vis),
+            )
+            it += 1
+            if it % args.val_iterations == 0 or (args.max_steps and it >= args.max_steps):
+                rng, k = jax.random.split(rng)
+                metrics = validate(ema_params, batch_stats, k)
+                print(f"it {it}: loss {float(loss):.4f} {metrics}")
+                if metrics.get("pck5", -1) > best_pck5:
+                    best_pck5 = metrics["pck5"]
+                    save_checkpoint(
+                        os.path.join(args.save_dir, identifier, "model"),
+                        {"params": ema_params, "batch_stats": batch_stats},
+                        identifier, {"epoch": epoch, **hparams},
+                    )
+            if args.max_steps and it >= args.max_steps:
+                print(f"[done] max_steps reached, final loss {float(loss):.4f}")
+                return
+        print(f"epoch {epoch}: loss {float(loss):.4f}")
+
+
+if __name__ == "__main__":
+    main()
