@@ -1,0 +1,277 @@
+"""Public pipeline API: BallDetector / TableDetector / UpliftingModel /
+TableTennisPipeline.
+
+Mirrors the reference user-facing classes and method signatures
+(ref: interface.py:83-312) with a TPU-first execution model:
+
+* The reference loops over frames with batch size 1 on GPU
+  (interface.py:102-119) and runs 13 scipy fits per frame on the host; here
+  frames are processed in jitted fixed-size chunks — resize/normalize,
+  model forward, and subpixel peak extraction all fused on device. Chunk
+  padding keeps shapes static across rallies of any length.
+* Weights load from this framework's self-describing Orbax checkpoints
+  (utils/checkpoint.py); `from_reference_checkpoint` ports the reference's
+  torch .pt files for the uplifting model (utils/port_torch.py). Randomly
+  initialized models are allowed for benchmarking/smoke runs.
+
+Detection-time working resolution is 1920x1080 (the reference's inference
+eval resolution, ref: inference/utils.py WIDTH/HEIGHT import) — detections
+and calibration run in this pixel space; the uplifting model consumes
+coordinates normalized by the same (ref: utils.py:268-309).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from upliftingtabletennis_tpu.core import geometry as G
+from upliftingtabletennis_tpu.core.calibration import calibrate_camera as _calibrate
+from upliftingtabletennis_tpu.data.image_transforms import normalize_image, warp_images, _affine3
+from upliftingtabletennis_tpu.models.factory import get_detector
+from upliftingtabletennis_tpu.models.uplifting import get_uplifting_model
+from upliftingtabletennis_tpu.ops.peak import extract_peaks
+from upliftingtabletennis_tpu.pipeline import filters
+
+WIDTH, HEIGHT = 1920, 1080  # inference eval resolution
+
+
+def _resize_affine(src_wh, dst_wh, batch):
+    sx = dst_wh[0] / src_wh[0]
+    sy = dst_wh[1] / src_wh[1]
+    one = jnp.ones((batch,))
+    zero = jnp.zeros((batch,))
+    return _affine3(one * sx, zero, zero, one * sy, one * (0.5 * sx - 0.5), one * (0.5 * sy - 0.5))
+
+
+class _Detector:
+    """Shared chunked-inference machinery for ball/table detectors."""
+
+    def __init__(self, model_name, task, checkpoint=None, chunk=16, threshold=-np.inf,
+                 resolution=None):
+        self.model_name = model_name
+        self.task = task
+        self.chunk = chunk
+        self.threshold = float(threshold)
+        self.model, self.resolution = get_detector(model_name, task, train=False)
+        if resolution is not None:  # debug/smoke override
+            self.resolution = tuple(resolution)
+        self._variables = None
+        if checkpoint is not None:
+            from upliftingtabletennis_tpu.utils.checkpoint import load_checkpoint
+
+            variables, _, _ = load_checkpoint(checkpoint)
+            self._variables = variables
+        self._predict_chunk = None
+
+    def _ensure_init(self, in_channels):
+        if self._variables is None:
+            MW, MH = self.resolution
+            self._variables = self.model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, MH, MW, in_channels))
+            )
+
+        if self._predict_chunk is None:
+            MW, MH = self.resolution
+            variables = self._variables
+            model = self.model
+            thr = self.threshold
+
+            @jax.jit
+            def predict_chunk(images):
+                """images (chunk, H, W, C) raw [0,255] at source res."""
+                B = images.shape[0]
+                A = _resize_affine((images.shape[2], images.shape[1]), (MW, MH), B)
+                x = warp_images(images, A, (MW, MH))
+                x = normalize_image(x)
+                out = model.apply(variables, x)
+                heat = out[0] if isinstance(out, tuple) else out
+                heat = jnp.moveaxis(heat, -1, 1)  # (B, C, h, w)
+                return extract_peaks(heat, WIDTH, HEIGHT, threshold=thr)
+
+            self._predict_chunk = predict_chunk
+
+    def _predict_frames(self, frames: np.ndarray) -> np.ndarray:
+        """frames (T, H, W, C) float32 [0, 255] -> peaks (T, C_out, 3)."""
+        T = frames.shape[0]
+        self._ensure_init(frames.shape[-1])
+        outs = []
+        for s in range(0, T, self.chunk):
+            batch = frames[s : s + self.chunk]
+            n = batch.shape[0]
+            if n < self.chunk:  # pad to static chunk shape
+                pad = np.zeros((self.chunk - n, *batch.shape[1:]), batch.dtype)
+                batch = np.concatenate([batch, pad], axis=0)
+            preds = np.asarray(self._predict_chunk(jnp.asarray(batch)))
+            outs.append(preds[:n])
+        return np.concatenate(outs, axis=0)
+
+
+class BallDetector(_Detector):
+    """Ball detection on 3-frame triplets (ref: interface.py:83-134)."""
+
+    def __init__(self, model_name="segformerpp_b2", checkpoint=None, chunk=16, resolution=None):
+        super().__init__(model_name, "ball", checkpoint, chunk, threshold=-np.inf,
+                         resolution=resolution)
+
+    def predict(self, image_triples: Sequence):
+        """image_triples: sequence of (prev, cur, next) RGB uint8/float arrays.
+        Returns (positions (T, 3) at 1920x1080, None)."""
+        frames = np.stack(
+            [np.concatenate([p, c, n], axis=-1) for p, c, n in image_triples]
+        ).astype(np.float32)
+        preds = self._predict_frames(frames)  # (T, 1, 3)
+        return preds[:, 0], None
+
+    @staticmethod
+    def filter_trajectory(pred1, pred2, fps):
+        return filters.filter_trajectory_ball(pred1, pred2, fps)
+
+
+class TableDetector(_Detector):
+    """Table keypoint detection on single frames (ref: interface.py:137-186)."""
+
+    def __init__(self, model_name="segformerpp_b2", checkpoint=None, chunk=16, resolution=None):
+        super().__init__(model_name, "table", checkpoint, chunk, threshold=0.1,
+                         resolution=resolution)
+
+    def predict(self, images: Sequence):
+        frames = np.stack([np.asarray(im) for im in images]).astype(np.float32)
+        preds = self._predict_frames(frames)  # (T, 13, 3)
+        return preds, None
+
+    @staticmethod
+    def filter_trajectory(pred1, pred2):
+        return filters.filter_trajectory_table(pred1, pred2)
+
+    @staticmethod
+    def calibrate_camera(keypoints):
+        """(13, 3) keypoints at 1920x1080 -> (Mint, Mext, num_inliers)."""
+        Mint, Mext, n = _calibrate(
+            jnp.asarray(keypoints[:, :2], jnp.float32),
+            jnp.asarray(keypoints[:, 2], jnp.float32),
+            (WIDTH, HEIGHT),
+            jax.random.PRNGKey(42),
+            True,
+        )
+        return np.asarray(Mint), np.asarray(Mext), int(n)
+
+    KEYPOINT_VISIBLE = 1
+
+
+class UpliftingModel:
+    """2D->3D uplifting (ref: interface.py:189-247)."""
+
+    def __init__(self, checkpoint=None, name="connectstage", size="large",
+                 mode="dynamic", time_rotation="new", transform_mode="global"):
+        self.transform_mode = transform_mode
+        if checkpoint is not None:
+            from upliftingtabletennis_tpu.utils.checkpoint import load_model_from_checkpoint
+
+            self.model, self.params, _, info = load_model_from_checkpoint(checkpoint)
+            self.transform_mode = info.get("transform_mode", transform_mode)
+        else:
+            self.model = get_uplifting_model(name, size, mode, time_rotation)
+            self.params = None
+        self._fwd = None
+
+    @classmethod
+    def from_reference_checkpoint(cls, path, transform_mode="global"):
+        """Load a reference torch .pt uplifting checkpoint."""
+        from upliftingtabletennis_tpu.utils.port_torch import load_reference_checkpoint
+
+        params, info = load_reference_checkpoint(path)
+        self = cls(
+            name=info.get("name", "connectstage"), size=info.get("size", "large"),
+            mode=info.get("tabletoken_mode", "dynamic"),
+            time_rotation=info.get("time_rotation", "new"),
+            transform_mode=info.get("transform_mode", transform_mode),
+        )
+        self.params = params
+        return self
+
+    def _ensure_init(self, ball, table, mask, times):
+        if self.params is None:
+            self.params = self.model.init(
+                jax.random.PRNGKey(0), ball, table, mask, times
+            )["params"]
+        if self._fwd is None:
+            model, params = self.model, self.params
+
+            @jax.jit
+            def fwd(ball, table, mask, times):
+                return model.apply({"params": params}, ball, table, mask, times)
+
+            self._fwd = fwd
+
+    def predict_without_normalization(self, ball, table, mask, times):
+        """Inputs already normalized + padded (ref: interface.py:221-247).
+        Returns (spin_local (3,), positions_3d (T', 3))."""
+        ball, table, mask, times = map(jnp.asarray, (ball, table, mask, times))
+        self._ensure_init(ball, table, mask, times)
+        rot, pos = self._fwd(ball, table, mask, times)
+        if self.transform_mode == "global":
+            rot = G.transform_rotation_axes(rot, pos)
+        T_prime = int(np.asarray(mask).sum())
+        return np.asarray(rot)[0], np.asarray(pos)[0, :T_prime]
+
+    def predict(self, ball_coords, table_coords, times):
+        """Unnormalized pixel inputs at 1920x1080 (ref: interface.py:189-220)."""
+        ball, table, t, mask = filters.uplifting_inputs(
+            ball_coords, table_coords, times, WIDTH, HEIGHT
+        )
+        return self.predict_without_normalization(ball, table, mask, t)
+
+
+class TableTennisPipeline:
+    """Full monocular video -> 3D + spin pipeline (ref: interface.py:251-312).
+
+    Model ensemble fixed like the reference: main segformerpp_b2 + aux wasb
+    (ball), main segformerpp_b2 + aux hrnet (table), uplifting 'ours'
+    (ref: interface.py:255-260).
+    """
+
+    def __init__(self, checkpoints: Optional[dict] = None, chunk=16):
+        ck = checkpoints or {}
+        self.ball_detector = BallDetector("segformerpp_b2", ck.get("ball_main"), chunk)
+        self.ball_detector_aux = BallDetector("wasb", ck.get("ball_aux"), chunk)
+        self.table_detector = TableDetector("segformerpp_b2", ck.get("table_main"), chunk)
+        self.table_detector_aux = TableDetector("hrnet", ck.get("table_aux"), chunk)
+        self.uplifting_model = (
+            UpliftingModel(ck["uplifting"]) if "uplifting" in ck else UpliftingModel()
+        )
+        self.KEYPOINT_VISIBLE = 1
+
+    def predict(self, images: List[np.ndarray], fps: float):
+        """images: list of RGB frames (one rally); fps: video framerate.
+        Returns (spin_local (3,), positions_3d (T', 3))
+        (ref: interface.py:265-289)."""
+        triples = [
+            (images[i - 1], images[i], images[i + 1]) for i in range(1, len(images) - 1)
+        ]
+        ball_main, _ = self.ball_detector.predict(triples)
+        ball_aux, _ = self.ball_detector_aux.predict(triples)
+        ball, valid_idx, times = filters.filter_trajectory_ball(ball_main, ball_aux, fps)
+
+        table_main, _ = self.table_detector.predict(images)
+        table_aux, _ = self.table_detector_aux.predict(images)
+        table = filters.filter_trajectory_table(table_main, table_aux)
+
+        b, t, tt, mask = filters.uplifting_inputs(ball, table, times, WIDTH, HEIGHT)
+        return self.uplifting_model.predict_without_normalization(b, t, mask, tt)
+
+    def calibrate_camera(self, keypoints):
+        return TableDetector.calibrate_camera(np.asarray(keypoints))
+
+    @staticmethod
+    def reproject(positions_3d, Mint, Mext):
+        """3D world -> 2D pixels (ref: interface.py:296-312)."""
+        return np.asarray(
+            G.world2img(
+                jnp.asarray(positions_3d, jnp.float32),
+                jnp.asarray(Mext, jnp.float32),
+                jnp.asarray(Mint, jnp.float32),
+            )
+        )
