@@ -1,0 +1,75 @@
+"""Detector speed harness (ref: balldetection/models/compare_speed.py:10-32,
+tabledetection/models/compare_speed.py).
+
+  python -m upliftingtabletennis_tpu.eval.compare_speed [--task ball]
+      [--models segformerpp_b0 wasb ...] [--batch 8] [--iters 50]
+
+Per model at its native input resolution: average seconds/batch, FPS and
+parameter count, on whatever accelerator jax selects (the reference runs
+torch-CUDA). Batched random input, compile excluded (one warmup).
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def measure(task: str, name: str, batch: int, iters: int, resolution=None):
+    import jax
+    import jax.numpy as jnp
+
+    from upliftingtabletennis_tpu.models.factory import get_detector
+
+    model, (W, H) = get_detector(name, task, train=False)
+    if resolution:
+        W, H = resolution
+    C = 9 if task == "ball" else 3
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, H, W, C)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+
+    @jax.jit
+    def fwd(x):
+        out = model.apply(variables, x)
+        return out[0] if isinstance(out, tuple) else out
+
+    jax.block_until_ready(fwd(x))  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fwd(x)
+    jax.block_until_ready(r)
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "model": name,
+        "resolution": (W, H),
+        "sec_per_batch": dt,
+        "fps": batch / dt,
+        "params_M": n_params / 1e6,
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", choices=["ball", "table"], default="ball")
+    p.add_argument("--models", nargs="*", default=None)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--resolution", type=int, nargs=2, default=None)
+    args = p.parse_args(argv)
+
+    from upliftingtabletennis_tpu.models.factory import BALL_MODELS, TABLE_MODELS
+
+    models = args.models or (BALL_MODELS if args.task == "ball" else TABLE_MODELS)
+    for name in models:
+        m = measure(args.task, name, args.batch, args.iters, args.resolution)
+        print(
+            f"{m['model']:16s} {m['resolution'][0]}x{m['resolution'][1]}  "
+            f"{m['sec_per_batch'] * 1000:8.2f} ms/batch  {m['fps']:8.1f} FPS  "
+            f"{m['params_M']:6.2f}M params"
+        )
+
+
+if __name__ == "__main__":
+    main()
