@@ -75,9 +75,25 @@ class EfficientAttention(nn.Module):
         kv = nn.Dense(2 * C, name="kv")(kv_in).reshape(B, -1, 2, h, hd)
         k, v = kv[:, :, 0], kv[:, :, 1]
 
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * hd**-0.5
-        w = jax.nn.softmax(logits, axis=-1)
-        o = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, N, C)
+        def attend(qc):
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qc, k) * hd**-0.5
+            w = jax.nn.softmax(logits, axis=-1)
+            return jnp.einsum("bhqk,bkhd->bqhd", w, v)
+
+        # At full detector resolution, stage-1 has >100k query tokens: the
+        # dense (Nq, Nkv) softmax matrix alone exceeds HBM at batch 8.
+        # Chunk queries so only (CHUNK, Nkv) is live per step; XLA pipelines
+        # the scan. (The spatial reduction already keeps Nkv small.)
+        CHUNK = 8192
+        if N > CHUNK:
+            pad = (-N) % CHUNK
+            qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            nc = qp.shape[1] // CHUNK
+            qp = jnp.moveaxis(qp.reshape(B, nc, CHUNK, h, hd), 1, 0)
+            oc = jax.lax.map(attend, qp)  # (nc, B, CHUNK, h, hd)
+            o = jnp.moveaxis(oc, 0, 1).reshape(B, nc * CHUNK, C)[:, :N]
+        else:
+            o = attend(q).reshape(B, N, C)
         return nn.Dense(C, name="proj")(o)
 
 
