@@ -35,7 +35,7 @@ def main():
     mask = jnp.asarray(mask_np)
     times = jnp.asarray((np.arange(T, dtype=np.float32) / 50)[None].repeat(B, 0) * mask_np)
 
-    params = model.init(jax.random.PRNGKey(0), ball, table, mask, times)["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), ball, table, mask, times)["params"]
 
     @jax.jit
     def fwd(ball, table, mask, times):

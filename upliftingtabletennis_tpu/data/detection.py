@@ -155,6 +155,89 @@ def load_table_batch(root: str, samples: Sequence[TableSample]):
     return np.stack(imgs), kps[..., :2], kps[..., 2]
 
 
+class BlurBallSample(NamedTuple):
+    paths: Tuple[str, str, str]  # (current, prev, next) frame paths
+    coords: Tuple[float, float]
+    blur_len: float
+    blur_theta_deg: float
+    visibility: int
+
+
+def load_blurball_index(root: str, mode: str, use_invisible: bool = True) -> List[BlurBallSample]:
+    """BlurBall layout: `<root>/blurball/<vid:02d>/frames/<seq:03d>/*.png` +
+    `<root>/blurball/all_csv_annotations/<vid:02d>_csv_<seq:03d>.csv` with
+    columns Frame, X, Y, l, theta, Visibility. Videos 3,6,8,15,20,22,24 are
+    the val/test pool, shuffled-halved (ref: balldetection/dataset.py:135-222).
+    """
+    data_path = os.path.join(root, "blurball")
+    ann_path = os.path.join(data_path, "all_csv_annotations")
+    holdout = (3, 6, 8, 15, 20, 22, 24)
+    vids = [v for v in range(26) if (v in holdout) == (mode != "train")]
+
+    samples: List[BlurBallSample] = []
+    for vid in vids:
+        frames_root = os.path.join(data_path, f"{vid:02d}", "frames")
+        if not os.path.isdir(frames_root):
+            continue
+        seqs = sorted(int(s) for s in os.listdir(frames_root) if s.isdecimal())
+        for seq in seqs:
+            seq_path = os.path.join(frames_root, f"{seq:03d}")
+            csv = os.path.join(ann_path, f"{vid:02d}_csv_{seq:03d}.csv")
+            if not os.path.exists(csv):
+                continue
+            df = _read_csv(csv, sep=",")
+            by_frame = {int(r["Frame"]): r for _, r in df.iterrows()}
+            frames = sorted(
+                int(f[:-4]) for f in os.listdir(seq_path) if f.endswith(".png")
+            )
+            for i in range(1, len(frames) - 1):
+                f, fp, fn = frames[i], frames[i - 1], frames[i + 1]
+                if f not in by_frame or fp not in by_frame or fn not in by_frame:
+                    continue
+                flags = [
+                    BALL_VISIBLE if int(by_frame[k]["Visibility"]) != 0 else BALL_INVISIBLE
+                    for k in (f, fp, fn)
+                ]
+                if not use_invisible and BALL_INVISIBLE in flags:
+                    continue
+                r = by_frame[f]
+                samples.append(
+                    BlurBallSample(
+                        (
+                            os.path.join(seq_path, f"{f:05d}.png"),
+                            os.path.join(seq_path, f"{fp:05d}.png"),
+                            os.path.join(seq_path, f"{fn:05d}.png"),
+                        ),
+                        (float(r["X"]), float(r["Y"])),
+                        float(r["l"]),
+                        float(r["theta"]),
+                        flags[0],
+                    )
+                )
+    rnd = np.random.RandomState(0)
+    rnd.shuffle(samples)
+    if mode == "val":
+        samples = samples[: len(samples) // 2]
+    elif mode == "test":
+        samples = samples[len(samples) // 2 :]
+    return samples
+
+
+def blur_streak_endpoints(coords_eval, blur_len, theta_deg, src_wh):
+    """Min/max blur-streak endpoints at the evaluation resolution, clamped
+    to the image (ref: balldetection/dataset.py:131-136). coords_eval is the
+    ball center already rescaled to (EVAL_WIDTH, EVAL_HEIGHT); blur_len and
+    theta are annotated at source resolution src_wh."""
+    sx = EVAL_WIDTH / src_wh[0]
+    sy = EVAL_HEIGHT / src_wh[1]
+    dx = blur_len * np.cos(np.deg2rad(theta_deg)) * sx
+    dy = blur_len * np.sin(np.deg2rad(theta_deg)) * sy
+    x, y = coords_eval
+    min_pt = (max(0.0, x - dx), max(0.0, y - dy))
+    max_pt = (min(EVAL_WIDTH - 1.0, x + dx), min(EVAL_HEIGHT - 1.0, y + dy))
+    return min_pt, max_pt
+
+
 class Prefetcher:
     """Tiny threaded prefetcher overlapping host decode with device steps."""
 

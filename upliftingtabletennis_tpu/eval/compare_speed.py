@@ -27,7 +27,7 @@ def measure(task: str, name: str, batch: int, iters: int, resolution=None):
         W, H = resolution
     C = 9 if task == "ball" else 3
     x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, H, W, C)), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
 
     @jax.jit

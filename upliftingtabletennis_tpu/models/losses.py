@@ -1,0 +1,148 @@
+"""Pose-estimation loss library (JAX port of the vendored mmpose losses).
+
+The reference ships a full loss family inside the vendored ViTPose package
+(ref: vit_pose/vit_models/losses/ — JointsMSELoss/JointsOHKMMSELoss in
+mse_loss.py, AdaptiveWingLoss, WingLoss, SoftWingLoss, plus mesh/GAN/AE
+losses specific to human-pose workflows). Only JointsMSELoss is exercised
+by its (dormant) trainer; this module provides the keypoint-relevant subset
+as pure JAX functions usable inside jitted training steps.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def joints_mse_loss(pred, target, target_weight=None, use_target_weight=False):
+    """Per-joint MSE over flattened heatmaps (ref: mse_loss.py JointsMSELoss).
+
+    pred/target (B, K, H, W); target_weight (B, K, 1).
+    """
+    B, K = pred.shape[:2]
+    p = pred.reshape(B, K, -1)
+    t = target.reshape(B, K, -1)
+    if use_target_weight and target_weight is not None:
+        w = target_weight.reshape(B, K, 1)
+        p = p * w
+        t = t * w
+    # mean over spatial, *0.5 like torch MSELoss reduction in mmpose
+    per_joint = 0.5 * jnp.mean((p - t) ** 2, axis=-1)
+    return jnp.mean(per_joint)
+
+
+def joints_ohkm_mse_loss(pred, target, target_weight=None, topk: int = 8):
+    """Online hard-keypoint mining: average the top-k per-joint losses
+    (ref: mse_loss.py JointsOHKMMSELoss)."""
+    B, K = pred.shape[:2]
+    p = pred.reshape(B, K, -1)
+    t = target.reshape(B, K, -1)
+    if target_weight is not None:
+        w = target_weight.reshape(B, K, 1)
+        p = p * w
+        t = t * w
+    per_joint = 0.5 * jnp.mean((p - t) ** 2, axis=-1)  # (B, K)
+    k = min(topk, K)
+    top = jax.lax.top_k(per_joint, k)[0]
+    return jnp.mean(jnp.sum(top, axis=1) / k)
+
+
+def wing_loss(pred, target, target_weight=None, omega=10.0, epsilon=2.0):
+    """Wing loss for coordinate regression (ref: losses WingLoss;
+    Feng et al. 2018). pred/target (B, K, D)."""
+    delta = jnp.abs(pred - target)
+    C = omega - omega * jnp.log(1.0 + omega / epsilon)
+    loss = jnp.where(
+        delta < omega, omega * jnp.log(1.0 + delta / epsilon), delta - C
+    )
+    if target_weight is not None:
+        loss = loss * target_weight
+    return jnp.mean(loss)
+
+
+def soft_wing_loss(pred, target, target_weight=None, omega1=2.0, omega2=20.0, epsilon=0.5):
+    """SoftWingLoss (ref: losses SoftWingLoss; Wang et al. 2021)."""
+    delta = jnp.abs(pred - target)
+    B = omega1 - omega2 * jnp.log(1.0 + omega1 / epsilon)
+    loss = jnp.where(
+        delta < omega1, delta, omega2 * jnp.log(1.0 + delta / epsilon) + B
+    )
+    if target_weight is not None:
+        loss = loss * target_weight
+    return jnp.mean(loss)
+
+
+def adaptive_wing_loss(pred, target, target_weight=None, alpha=2.1, omega=14.0,
+                       epsilon=1.0, theta=0.5):
+    """Adaptive wing loss for heatmap regression
+    (ref: losses AdaptiveWingLoss; Wang et al. 2019). pred/target (B, K, H, W)."""
+    delta = jnp.abs(pred - target)
+    expo = alpha - target
+    A = (
+        omega
+        * (1.0 / (1.0 + (theta / epsilon) ** expo))
+        * expo
+        * ((theta / epsilon) ** (expo - 1.0))
+        / epsilon
+    )
+    C = theta * A - omega * jnp.log(1.0 + (theta / epsilon) ** expo)
+    loss = jnp.where(
+        delta < theta,
+        omega * jnp.log(1.0 + (delta / epsilon) ** expo),
+        A * delta - C,
+    )
+    if target_weight is not None:
+        loss = loss * target_weight[..., None, None]
+    return jnp.mean(loss)
+
+
+def layer_decay_schedule(depth: int, decay_rate: float = 0.75):
+    """Per-layer learning-rate multipliers for a ViT backbone: layer i of
+    `depth` gets decay_rate**(depth - i) (ref: vit_pose/vit_models/
+    optimizer.py LayerDecayOptimizer). Returns {layer_index: multiplier}
+    with index depth = head/final params (multiplier 1)."""
+    return {i: decay_rate ** (depth - i) for i in range(depth + 1)}
+
+
+def vit_layer_index(path_parts, depth: int) -> int:
+    """Map a flax param path to its layer index: patch embed / pos embed ->
+    0, blocks_i -> i + 1, everything after the backbone -> depth."""
+    for p in path_parts:
+        p = str(p)
+        if p.startswith("blocks_"):
+            return int(p.split("_")[1]) + 1
+        if p in ("patch_embed_proj", "pos_embed"):
+            return 0
+    return depth
+
+
+def layer_decay_mask_fn(params, depth: int, decay_rate: float = 0.75):
+    """Per-param multipliers pytree for optax.scale_by... usage:
+    tx = optax.chain(adam, optax.masked-style multiply). Combine with
+    `optax.multi_transform` or scale updates manually."""
+    import jax
+
+    sched = layer_decay_schedule(depth, decay_rate)
+
+    def mult(path, leaf):
+        parts = tuple(getattr(p, "key", getattr(p, "idx", "")) for p in path)
+        return sched[vit_layer_index(parts, depth)]
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    tree_def = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(tree_def, [mult(p, l) for p, l in flat])
+
+
+def scale_by_layer_decay(depth: int, decay_rate: float = 0.75):
+    """Optax transform applying layer-wise LR decay to ViT parameters."""
+    import optax
+
+    def init_fn(params):
+        return {"mults": layer_decay_mask_fn(params, depth, decay_rate)}
+
+    def update_fn(updates, state, params=None):
+        import jax
+
+        updates = jax.tree.map(lambda u, m: u * m, updates, state["mults"])
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)

@@ -69,7 +69,7 @@ class _Detector:
     def _ensure_init(self, in_channels):
         if self._variables is None:
             MW, MH = self.resolution
-            self._variables = self.model.init(
+            self._variables = jax.jit(self.model.init)(
                 jax.random.PRNGKey(0), jnp.zeros((1, MH, MW, in_channels))
             )
 
@@ -194,7 +194,7 @@ class UpliftingModel:
 
     def _ensure_init(self, ball, table, mask, times):
         if self.params is None:
-            self.params = self.model.init(
+            self.params = jax.jit(self.model.init)(
                 jax.random.PRNGKey(0), ball, table, mask, times
             )["params"]
         if self._fwd is None:

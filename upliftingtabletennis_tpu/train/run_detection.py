@@ -86,7 +86,7 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(args.seed)
     example = jnp.zeros((args.batch_size, MH, MW, 9 if task == "ball" else 3))
-    variables = model.init(rng, example)
+    variables = jax.jit(model.init)(rng, example)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     ema_params = params

@@ -53,7 +53,7 @@ def make_optimizer(lr: float = 1e-4, clip: float = 5.0):
 
 
 def create_train_state(model, rng, example_batch: Batch, lr: float = 1e-4):
-    variables = model.init(
+    variables = jax.jit(model.init)(
         rng,
         example_batch.ball_img,
         example_batch.table_img,
