@@ -112,7 +112,8 @@ def test_energy_dissipation():
     state0 = P.BallState(
         jnp.asarray([0.0, 0.0, 1.5]), jnp.asarray([0.0, 0.0, 0.0]), jnp.zeros(3)
     )
-    traj = P.simulate(state0, n_frames=400)
+    # e~0.99 means ~0.75 s between bounces: 2.4 s window gives >= 2 apexes
+    traj = P.simulate(state0, n_frames=1200)
     z = np.asarray(traj.r[:, 2])
     # detect bounce apexes
     apex = [z[i] for i in range(1, len(z) - 1) if z[i] > z[i - 1] and z[i] > z[i + 1]]

@@ -247,11 +247,23 @@ def augment_detection_batch(key, images, coords, visibility, dst_wh: Tuple[int, 
     """
     k1, k2 = jax.random.split(key)
     B, H, W, _ = images.shape
+    DW, DH = dst_wh
+    if not train:
+        # eval path is a pure resize: jax.image.resize without antialiasing
+        # is exactly cv2 INTER_LINEAR and avoids the gather-based warp
+        # (map_coordinates gathers are very slow on TPU)
+        out_imgs = jax.image.resize(images, (B, DH, DW, images.shape[-1]), "bilinear",
+                                    antialias=False)
+        sx, sy = DW / W, DH / H
+        out_coords = jnp.stack(
+            [(coords[..., 0] + 0.5) * sx - 0.5, (coords[..., 1] + 0.5) * sy - 0.5], -1
+        )
+        return normalize_image(out_imgs), out_coords, visibility
+
     A, stages = sample_affines(k1, B, (H, W), dst_wh, cfg, train)
     out_imgs = warp_images(images, A, dst_wh)
     out_coords = transform_coords(A, coords)
-    if train:
-        visibility = update_visibility(stages, coords, visibility)
-        out_imgs = color_jitter(k2, out_imgs, cfg)
+    visibility = update_visibility(stages, coords, visibility)
+    out_imgs = color_jitter(k2, out_imgs, cfg)
     out_imgs = normalize_image(out_imgs)
     return out_imgs, out_coords, visibility

@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 
-def measure(task: str, name: str, batch: int, iters: int, resolution=None):
+def measure(task: str, name: str, batch: int, iters: int, resolution=None, dtype="bfloat16"):
     import jax
     import jax.numpy as jnp
 
@@ -26,8 +26,13 @@ def measure(task: str, name: str, batch: int, iters: int, resolution=None):
     if resolution:
         W, H = resolution
     C = 9 if task == "ball" else 3
-    x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, H, W, C)), jnp.float32)
+    dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, H, W, C)), dt)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    if dt == jnp.bfloat16:
+        variables = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, variables
+        )
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
 
     @jax.jit
@@ -57,13 +62,15 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--resolution", type=int, nargs=2, default=None)
+    p.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16",
+                   help="inference dtype (bf16 = TPU-native; f32 needs small batches)")
     args = p.parse_args(argv)
 
     from upliftingtabletennis_tpu.models.factory import BALL_MODELS, TABLE_MODELS
 
     models = args.models or (BALL_MODELS if args.task == "ball" else TABLE_MODELS)
     for name in models:
-        m = measure(args.task, name, args.batch, args.iters, args.resolution)
+        m = measure(args.task, name, args.batch, args.iters, args.resolution, args.dtype)
         print(
             f"{m['model']:16s} {m['resolution'][0]}x{m['resolution'][1]}  "
             f"{m['sec_per_batch'] * 1000:8.2f} ms/batch  {m['fps']:8.1f} FPS  "

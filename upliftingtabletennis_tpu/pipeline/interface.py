@@ -50,11 +50,14 @@ class _Detector:
     """Shared chunked-inference machinery for ball/table detectors."""
 
     def __init__(self, model_name, task, checkpoint=None, chunk=16, threshold=-np.inf,
-                 resolution=None):
+                 resolution=None, half_precision=None):
         self.model_name = model_name
         self.task = task
         self.chunk = chunk
         self.threshold = float(threshold)
+        if half_precision is None:
+            half_precision = jax.default_backend() == "tpu"
+        self.half_precision = bool(half_precision)
         self.model, self.resolution = get_detector(model_name, task, train=False)
         if resolution is not None:  # debug/smoke override
             self.resolution = tuple(resolution)
@@ -76,37 +79,83 @@ class _Detector:
         if self._predict_chunk is None:
             MW, MH = self.resolution
             variables = self._variables
+            if self.half_precision:
+                # bf16 inference: TPU-native dtype; halves the activation
+                # footprint (f32 at batch 8 full-res exceeds a 16GB chip)
+                variables = jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+                    variables,
+                )
             model = self.model
             thr = self.threshold
+            half = self.half_precision
+            triplet = in_channels == 9
 
             @jax.jit
-            def predict_chunk(images):
-                """images (chunk, H, W, C) raw [0,255] at source res."""
+            def predict_chunk(frames_dev, idx):
+                """frames_dev (T, H, W, 3) uint8 device-resident; idx (chunk,)
+                center frame indices. Gathers triplets, resizes, normalizes,
+                forwards and extracts peaks — all on device. The frames
+                transfer to HBM ONCE per rally (uint8), not once per model
+                per chunk: host->device bandwidth dominates everything else
+                on a tunneled chip (SURVEY §7.3)."""
+                T = frames_dev.shape[0]
+                if triplet:
+                    gather = [jnp.clip(idx - 1, 0, T - 1), idx, jnp.clip(idx + 1, 0, T - 1)]
+                    images = jnp.concatenate(
+                        [frames_dev[g] for g in gather], axis=-1
+                    )  # (chunk, H, W, 9) uint8, order (prev, cur, next)
+                else:
+                    images = frames_dev[idx]
+                images = images.astype(jnp.float32)
                 B = images.shape[0]
-                A = _resize_affine((images.shape[2], images.shape[1]), (MW, MH), B)
-                x = warp_images(images, A, (MW, MH))
+                # pure-scale resize: jax.image.resize with antialias off is
+                # exactly cv2 INTER_LINEAR (half-pixel centers) and lowers to
+                # dense XLA ops — the general affine gather path costs
+                # seconds/chunk on TPU (gathers don't vectorize)
+                x = jax.image.resize(
+                    images, (B, MH, MW, images.shape[-1]), "bilinear", antialias=False
+                )
                 x = normalize_image(x)
+                if half:
+                    x = x.astype(jnp.bfloat16)
                 out = model.apply(variables, x)
                 heat = out[0] if isinstance(out, tuple) else out
-                heat = jnp.moveaxis(heat, -1, 1)  # (B, C, h, w)
+                heat = jnp.moveaxis(heat, -1, 1).astype(jnp.float32)  # (B, C, h, w)
                 return extract_peaks(heat, WIDTH, HEIGHT, threshold=thr)
 
             self._predict_chunk = predict_chunk
 
-    def _predict_frames(self, frames: np.ndarray) -> np.ndarray:
-        """frames (T, H, W, C) float32 [0, 255] -> peaks (T, C_out, 3)."""
-        T = frames.shape[0]
-        self._ensure_init(frames.shape[-1])
+    def predict_on_device_frames(self, frames_dev, centers) -> np.ndarray:
+        """frames_dev (T, H, W, 3) uint8 jax array; centers: iterable of
+        frame indices to evaluate -> peaks (len(centers), C_out, 3)."""
+        in_channels = 9 if self.task == "ball" else 3
+        self._ensure_init(in_channels)
+        centers = np.asarray(list(centers), np.int32)
         outs = []
-        for s in range(0, T, self.chunk):
-            batch = frames[s : s + self.chunk]
-            n = batch.shape[0]
+        for s in range(0, len(centers), self.chunk):
+            idx = centers[s : s + self.chunk]
+            n = len(idx)
             if n < self.chunk:  # pad to static chunk shape
-                pad = np.zeros((self.chunk - n, *batch.shape[1:]), batch.dtype)
-                batch = np.concatenate([batch, pad], axis=0)
-            preds = np.asarray(self._predict_chunk(jnp.asarray(batch)))
+                idx = np.concatenate([idx, np.full(self.chunk - n, idx[-1], np.int32)])
+            preds = np.asarray(self._predict_chunk(frames_dev, jnp.asarray(idx)))
             outs.append(preds[:n])
         return np.concatenate(outs, axis=0)
+
+    def _predict_frames(self, frames: np.ndarray) -> np.ndarray:
+        """frames (T, H, W, C) [0, 255] -> peaks (T, C_out, 3). Host entry:
+        transfers once as uint8 and runs the device-gather path."""
+        if frames.shape[-1] == 9:  # pre-built triplets: split to unique frames
+            # reconstruct the unique frame sequence [p0, c0, c1, ..., nT]
+            uniq = np.concatenate(
+                [frames[:1, ..., 0:3], frames[:, ..., 3:6], frames[-1:, ..., 6:9]], axis=0
+            )
+            frames_dev = jax.device_put(uniq.astype(np.uint8))
+            centers = np.arange(1, 1 + frames.shape[0])
+        else:
+            frames_dev = jax.device_put(frames.astype(np.uint8))
+            centers = np.arange(frames.shape[0])
+        return self.predict_on_device_frames(frames_dev, centers)
 
 
 class BallDetector(_Detector):
@@ -247,16 +296,23 @@ class TableTennisPipeline:
     def predict(self, images: List[np.ndarray], fps: float):
         """images: list of RGB frames (one rally); fps: video framerate.
         Returns (spin_local (3,), positions_3d (T', 3))
-        (ref: interface.py:265-289)."""
-        triples = [
-            (images[i - 1], images[i], images[i + 1]) for i in range(1, len(images) - 1)
-        ]
-        ball_main, _ = self.ball_detector.predict(triples)
-        ball_aux, _ = self.ball_detector_aux.predict(triples)
+        (ref: interface.py:265-289).
+
+        The rally transfers to the device ONCE as uint8 and all four
+        detectors gather their inputs on device — the reference re-uploads
+        per model per frame (interface.py:102-119)."""
+        frames_dev = jax.device_put(
+            np.stack([np.asarray(im) for im in images]).astype(np.uint8)
+        )
+        centers = np.arange(1, len(images) - 1)  # triplet-valid frames
+
+        ball_main = self.ball_detector.predict_on_device_frames(frames_dev, centers)[:, 0]
+        ball_aux = self.ball_detector_aux.predict_on_device_frames(frames_dev, centers)[:, 0]
         ball, valid_idx, times = filters.filter_trajectory_ball(ball_main, ball_aux, fps)
 
-        table_main, _ = self.table_detector.predict(images)
-        table_aux, _ = self.table_detector_aux.predict(images)
+        all_frames = np.arange(len(images))
+        table_main = self.table_detector.predict_on_device_frames(frames_dev, all_frames)
+        table_aux = self.table_detector_aux.predict_on_device_frames(frames_dev, all_frames)
         table = filters.filter_trajectory_table(table_main, table_aux)
 
         b, t, tt, mask = filters.uplifting_inputs(ball, table, times, WIDTH, HEIGHT)

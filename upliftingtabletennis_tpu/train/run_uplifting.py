@@ -81,6 +81,8 @@ def main():
     p.add_argument("--generate", type=int, default=256, help="per-mode count when generating data")
     p.add_argument("--logdir", type=str, default="runs")
     p.add_argument("--save_dir", type=str, default="saved_models")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of epoch 1 into logdir")
     args = p.parse_args()
 
     import jax
@@ -120,6 +122,11 @@ def main():
         from torch.utils.tensorboard import SummaryWriter
 
         writer = SummaryWriter(os.path.join(args.logdir, identifier))
+        # hparams without polluting the scalars tab (the reference patches
+        # SummaryWriter for the same reason, ref: uplifting/helper.py:249-256)
+        import json as _json
+
+        writer.add_text("hparams", _json.dumps(hparams, indent=2))
     except Exception:
         writer = None
 
@@ -229,6 +236,12 @@ def main():
     print(f"[train] {steps_per_epoch} steps/epoch on {jax.device_count()} device(s)")
     it = 0
     for epoch in range(args.num_epochs):
+        # device-time profile of one post-compile epoch (ref has no profiler;
+        # SURVEY §5.1 — TPU equivalent of its wall-clock harnesses)
+        if args.profile and epoch == 1:
+            jax.profiler.start_trace(os.path.join(args.logdir, identifier, "profile"))
+        if args.profile and epoch == 2:
+            jax.profiler.stop_trace()
         rng, ek = jax.random.split(rng)
         perm = jax.random.permutation(ek, len(train_idx))
         t0 = time.perf_counter()
