@@ -50,11 +50,127 @@ def test_index_loading(fake_tthq):
 
     imgs, coords, vis = D.load_ball_batch(fake_tthq, tr[:2])
     assert imgs.shape == (2, 96, 128, 9)
-    assert coords.shape == (2, 1, 2) and vis.shape == (2, 1)
+    # coords rows: (center, streak_min, streak_max); TTHQ has min == max ==
+    # center (ref: balldetection/dataset.py:412-415)
+    assert coords.shape == (2, 3, 2) and vis.shape == (2, 3)
+    np.testing.assert_array_equal(coords[:, 0], coords[:, 1])
+    np.testing.assert_array_equal(coords[:, 0], coords[:, 2])
 
     tt = D.load_tthq_table_index(fake_tthq, "train")
     imgs, kps, v = D.load_table_batch(fake_tthq, tt[:2])
     assert imgs.shape == (2, 96, 128, 3) and kps.shape == (2, 13, 2)
+
+
+@pytest.fixture(scope="module")
+def fake_blurball(tmp_path_factory):
+    """Tiny BlurBall tree: 2 videos (one holdout) x 1 sequence x frames,
+    streak annotations + per-video calib yamls (ref layout:
+    balldetection/dataset.py:135-222, tabledetection/dataset.py:210-262)."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("bbdata")
+    bb = root / "blurball"
+    ann = bb / "all_csv_annotations"
+    calib = bb / "all_calib_files"
+    ann.mkdir(parents=True)
+    calib.mkdir()
+    rng = np.random.default_rng(1)
+    H, W = 96, 128
+    for vid in (1, 3):  # 3 is in the holdout set
+        seq_dir = bb / f"{vid:02d}" / "frames" / "000"
+        seq_dir.mkdir(parents=True)
+        rows = ["Frame,X,Y,l,theta,Visibility"]
+        for frame in range(6):
+            img = rng.integers(0, 60, (H, W, 3), dtype=np.uint8)
+            bx, by = rng.uniform(10, W - 10), rng.uniform(10, H - 10)
+            cv2.circle(img, (int(bx), int(by)), 2, (255, 255, 255), -1)
+            cv2.imwrite(str(seq_dir / f"{frame:05d}.png"), img)
+            rows.append(f"{frame},{bx:.1f},{by:.1f},2.0,30.0,1")
+        (ann / f"{vid:02d}_csv_000.csv").write_text("\n".join(rows))
+        # a plausible camera ~5 m behind the table looking at it
+        (calib / f"{vid:02d}_table_pose.yaml").write_text(
+            "rvec: [1.2, 0.0, 0.0]\ntvec: [0.0, 0.5, 5.0]\nf: 120.0\n"
+        )
+    return str(root)
+
+
+def test_blurball_ball_index_and_batch(fake_blurball):
+    from upliftingtabletennis_tpu.data import detection as D
+
+    tr = D.load_blurball_index(fake_blurball, "train")
+    va = D.load_blurball_index(fake_blurball, "val")
+    te = D.load_blurball_index(fake_blurball, "test")
+    assert len(tr) > 0 and len(va) + len(te) > 0  # vid 3 is holdout
+    imgs, coords, vis = D.load_blurball_ball_batch(fake_blurball, tr[:2])
+    assert imgs.shape == (2, 96, 128, 9)
+    assert coords.shape == (2, 3, 2)
+    # streak endpoints differ from the center (blur length 2, theta 30 deg)
+    assert not np.allclose(coords[:, 1], coords[:, 2])
+
+
+def test_blurball_table_keypoints(fake_blurball):
+    """Reprojection-derived table keypoints: finite, and consistent with
+    projecting TABLE_POINTS through the composed camera by hand."""
+    from upliftingtabletennis_tpu.core.geometry import TABLE_HEIGHT, TABLE_POINTS
+    from upliftingtabletennis_tpu.data import detection as D
+
+    tr = D.load_blurball_table_index(fake_blurball, "train")
+    assert len(tr) > 0
+    imgs, kps, vis = D.load_blurball_table_batch(fake_blurball, tr[:2])
+    assert kps.shape == (2, 13, 2) and np.isfinite(kps).all()
+    assert (vis == 1).all()
+
+    # hand-computed projection of keypoint 0 must match
+    cam = {"rvec": [1.2, 0.0, 0.0], "tvec": [0.0, 0.5, 5.0], "f": 120.0}
+    kp = D.blurball_table_keypoints(cam, (128, 96))
+    R = D._rodrigues(np.asarray(cam["rvec"], np.float64))
+    Mext = np.eye(4)
+    Mext[:3, :3] = R
+    Mext[:3, 3] = cam["tvec"]
+    trans = np.array(
+        [[0, -1, 0, 0], [1, 0, 0, 0], [0, 0, 1, -TABLE_HEIGHT], [0, 0, 0, 1]], np.float64
+    )
+    M = Mext @ trans
+    p = M @ np.array([*np.asarray(TABLE_POINTS)[0], 1.0])
+    x = 120.0 * p[0] / p[2] + (128 - 1) / 2
+    y = 120.0 * p[1] / p[2] + (96 - 1) / 2
+    np.testing.assert_allclose(kp[0, :2], [x, y], rtol=1e-5)
+
+
+def test_pretrain_then_finetune_handoff(fake_blurball, fake_tthq, tmp_path):
+    """BlurBall pretrain run -> warm-started TTHQ finetune, through the CLI
+    (ref: balldetection/train.py:58-60, config.py:41-44)."""
+    from upliftingtabletennis_tpu.train.run_detection import main
+
+    save = tmp_path / "ckpt"
+    main(
+        [
+            "--task", "ball", "--model", "wasb", "--data", "blurball",
+            "--data_root", fake_blurball, "--batch_size", "2",
+            "--val_iterations", "1", "--max_steps", "1",
+            "--resolution", "128", "96", "--eval_resolution", "256", "192",
+            "--save_dir", str(save),
+        ]
+    )
+    # locate the saved checkpoint and expose it at the pretraining path
+    import glob
+    import shutil
+
+    run_dirs = glob.glob(str(save / "ball_wasb_*"))
+    assert run_dirs, "pretraining run saved no checkpoint"
+    pre = save / "pretraining_blurball" / "wasb"
+    pre.mkdir(parents=True)
+    shutil.copytree(os.path.join(run_dirs[0], "model"), str(pre / "model"))
+
+    main(
+        [
+            "--task", "ball", "--model", "wasb", "--data", "tthq",
+            "--data_root", fake_tthq, "--pretraining", "--batch_size", "2",
+            "--val_iterations", "1", "--max_steps", "1",
+            "--resolution", "128", "96", "--eval_resolution", "256", "192",
+            "--save_dir", str(save),
+        ]
+    )
 
 
 @pytest.mark.parametrize("task,model", [("ball", "wasb"), ("table", "vitpose")])

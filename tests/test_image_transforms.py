@@ -129,3 +129,30 @@ def test_heatmap_render_matches_reference_formula():
     # invisible -> all-zero map (ref: dataset.py:416-419)
     zero = np.asarray(M.render_gaussian_heatmaps(coords, jnp.zeros((1,)), 72, 108, 6.0))[0]
     assert zero.max() == 0.0
+
+
+def test_i420_roundtrip_and_cv2_parity():
+    """Device-side I420->RGB matches cv2's converter within chroma-upsample
+    tolerance; round trip through rgb_to_i420 stays close on smooth images."""
+    import jax.numpy as jnp
+    import numpy as np
+    import scipy.ndimage as ndi
+
+    from upliftingtabletennis_tpu.data.image_transforms import i420_to_rgb, rgb_to_i420
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(2, 16, 24, 3)).astype(np.float32)
+    rgb = np.clip(128 + 40 * ndi.gaussian_filter(base, (0, 2, 2, 0)), 0, 255).astype(np.uint8)
+    i420 = rgb_to_i420(rgb)
+    assert i420.shape == (2, 24, 24)
+    back = np.asarray(i420_to_rgb(jnp.asarray(i420), 16, 24))
+    err = np.abs(back.astype(int) - rgb.astype(int))
+    assert err.mean() < 6 and err.max() < 40
+    try:
+        import cv2
+
+        ref = np.stack([cv2.cvtColor(f, cv2.COLOR_YUV2RGB_I420) for f in i420])
+        d = np.abs(ref.astype(int) - back.astype(int))
+        assert d.max() <= 6  # nearest vs bilinear chroma upsampling
+    except ImportError:
+        pass

@@ -92,6 +92,24 @@ def test_chunked_detector_inference():
     assert (preds[:, 0] < 1920.5).all() and (preds[:, 1] < 1080.5).all()
 
 
+def test_ball_predict_arbitrary_triples():
+    """predict() must honor arbitrary (prev, cur, next) triples — the
+    reference API places no adjacency requirement (ref interface.py:93-120).
+    Feeding the same triple list in a different order must permute outputs."""
+    from upliftingtabletennis_tpu.pipeline.interface import BallDetector
+
+    det = BallDetector("wasb", chunk=4)
+    det.resolution = (96, 64)
+    rng = np.random.default_rng(5)
+    frames = [rng.uniform(0, 255, (64, 96, 3)).astype(np.float32) for _ in range(7)]
+    # non-adjacent triples: stride-2 neighbors
+    triples = [(frames[i - 2], frames[i], frames[i + 2]) for i in range(2, 5)]
+    preds, _ = det.predict(triples)
+    perm = [2, 0, 1]
+    preds_perm, _ = det.predict([triples[i] for i in perm])
+    np.testing.assert_allclose(preds_perm, preds[perm], rtol=1e-5, atol=1e-5)
+
+
 def test_full_pipeline_wiring():
     """End-to-end predict() on a synthetic rally with small random models:
     exercises chunking, both filters, padding glue and the uplifting model."""

@@ -20,4 +20,32 @@ Layering (bottom-up):
     eval/       metric/protocol parity with reference inference/ scripts
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def _enable_compilation_cache():
+    """Enable JAX's persistent compilation cache by default.
+
+    Detector programs take 20-40s each to compile on TPU; caching makes every
+    process after the first start in seconds. Opt out by setting
+    UTT_NO_COMPILE_CACHE=1 or pre-setting JAX_COMPILATION_CACHE_DIR.
+    """
+    import os
+
+    if os.environ.get("UTT_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            path = os.path.join(
+                os.path.expanduser("~"), ".cache", "upliftingtabletennis_tpu", "jax_cache"
+            )
+            os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # never block import on cache setup
+        pass
+
+
+_enable_compilation_cache()

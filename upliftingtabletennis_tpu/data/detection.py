@@ -130,19 +130,22 @@ def load_frame(root: str, video: int, frame: int) -> np.ndarray:
 
 
 def load_ball_batch(root: str, samples: Sequence[BallSample]):
-    """Stack (B, H, W, 9) triplets (prev, current, next) + annotations."""
+    """Stack (B, H, W, 9) triplets (prev, current, next) + annotations.
+
+    coords (B, 3, 2): rows are (center, streak_min, streak_max); for TTHQ
+    min = max = center, matching the reference (ref: dataset.py:412-415)."""
     imgs, coords, vis = [], [], []
     for s in samples:
         cur = load_frame(root, s.video, s.frames[0])
         prev = load_frame(root, s.video, s.frames[1])
         nxt = load_frame(root, s.video, s.frames[2])
         imgs.append(np.concatenate([prev, cur, nxt], axis=-1))
-        coords.append(s.coords)
-        vis.append(s.visibility)
+        coords.append([s.coords, s.min_coords, s.max_coords])
+        vis.append([s.visibility] * 3)
     return (
         np.stack(imgs),
-        np.asarray(coords, np.float32)[:, None, :],
-        np.asarray(vis, np.float32)[:, None],
+        np.asarray(coords, np.float32),
+        np.asarray(vis, np.float32),
     )
 
 
@@ -236,6 +239,125 @@ def blur_streak_endpoints(coords_eval, blur_len, theta_deg, src_wh):
     min_pt = (max(0.0, x - dx), max(0.0, y - dy))
     max_pt = (min(EVAL_WIDTH - 1.0, x + dx), min(EVAL_HEIGHT - 1.0, y + dy))
     return min_pt, max_pt
+
+
+def load_frame_path(path: str) -> np.ndarray:
+    """One RGB frame from an absolute path, float32 (H, W, 3) in [0, 255]."""
+    import cv2
+
+    img = cv2.imread(path)
+    if img is None:
+        raise FileNotFoundError(path)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+
+
+def load_blurball_ball_batch(root: str, samples: Sequence[BlurBallSample]):
+    """Stack (B, H, W, 9) triplets + (center, streak_min, streak_max) coords.
+
+    coords (B, 3, 2) at SOURCE resolution: row 0 the ball center (heatmap
+    target), rows 1-2 the blur-streak endpoints (metrics only) — TTHQ uses
+    min = max = center exactly like the reference (ref:
+    balldetection/dataset.py:131-136, 412-415)."""
+    imgs, coords, vis = [], [], []
+    for s in samples:
+        cur = load_frame_path(s.paths[0])
+        prev = load_frame_path(s.paths[1])
+        nxt = load_frame_path(s.paths[2])
+        imgs.append(np.concatenate([prev, cur, nxt], axis=-1))
+        x, y = s.coords
+        dx = s.blur_len * np.cos(np.deg2rad(s.blur_theta_deg))
+        dy = s.blur_len * np.sin(np.deg2rad(s.blur_theta_deg))
+        H, W = cur.shape[:2]
+        mn = (max(0.0, x - dx), max(0.0, y - dy))
+        mx = (min(W - 1.0, x + dx), min(H - 1.0, y + dy))
+        coords.append([(x, y), mn, mx])
+        vis.append([s.visibility] * 3)
+    return np.stack(imgs), np.asarray(coords, np.float32), np.asarray(vis, np.float32)
+
+
+class BlurBallTableSample(NamedTuple):
+    path: str
+    keypoints: np.ndarray  # (13, 3) x, y, visibility at source resolution
+
+
+def _rodrigues(rvec: np.ndarray) -> np.ndarray:
+    theta = np.linalg.norm(rvec)
+    if theta < 1e-12:
+        return np.eye(3)
+    k = rvec / theta
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
+
+
+def blurball_table_keypoints(camera_info: dict, orig_wh: Tuple[int, int]) -> np.ndarray:
+    """Derive the 13 table keypoints by reprojecting TABLE_POINTS through a
+    BlurBall per-video calibration yaml: Rodrigues(rvec) + tvec extrinsics,
+    right-multiplied by the TT3D->ours coordinate-change matrix, focal f with
+    principal point ((W-1)/2, (H-1)/2) (ref: tabledetection/dataset.py:276-303).
+    Returns (13, 3) [x, y, visible] at the source resolution."""
+    from upliftingtabletennis_tpu.core.geometry import TABLE_HEIGHT, TABLE_POINTS
+
+    W, H = orig_wh
+    rvec = np.asarray(camera_info["rvec"], np.float64).ravel()
+    tvec = np.asarray(camera_info["tvec"], np.float64).ravel()
+    f = float(camera_info["f"])
+    Mint = np.array([[f, 0, (W - 1) / 2], [0, f, (H - 1) / 2], [0, 0, 1]])
+    Mext = np.eye(4)
+    Mext[:3, :3] = _rodrigues(rvec)
+    Mext[:3, 3] = tvec
+    trans = np.array(
+        [[0, -1, 0, 0], [1, 0, 0, 0], [0, 0, 1, -TABLE_HEIGHT], [0, 0, 0, 1]], np.float64
+    )
+    Mext = Mext @ trans
+    tp = np.concatenate([np.asarray(TABLE_POINTS, np.float64), np.ones((13, 1))], -1)
+    cam_pts = (Mext @ tp.T).T
+    img_pts = (Mint @ (cam_pts[:, :3] / cam_pts[:, 3:4]).T).T
+    xy = img_pts[:, :2] / img_pts[:, 2:3]
+    return np.concatenate([xy, np.full((13, 1), BALL_VISIBLE, np.float64)], -1).astype(
+        np.float32
+    )
+
+
+def load_blurball_table_index(root: str, mode: str) -> List[BlurBallTableSample]:
+    """BlurBall table samples: every frame of every sequence, keypoints from
+    the per-video calib yaml (constant per video — static cameras). val =
+    first shuffled half thinned 10x, test = second half (ref:
+    tabledetection/dataset.py:210-262)."""
+    import yaml
+
+    data_path = os.path.join(root, "blurball")
+    holdout = (3, 6, 8, 15, 20, 22, 24)
+    vids = [v for v in range(26) if (v in holdout) == (mode != "train")]
+    samples: List[BlurBallTableSample] = []
+    for vid in vids:
+        frames_root = os.path.join(data_path, f"{vid:02d}", "frames")
+        calib = os.path.join(data_path, "all_calib_files", f"{vid:02d}_table_pose.yaml")
+        if not os.path.isdir(frames_root) or not os.path.exists(calib):
+            continue
+        with open(calib) as f:
+            camera_info = yaml.safe_load(f)
+        kps = None
+        for seq in sorted(s for s in os.listdir(frames_root) if s.isdecimal()):
+            seq_path = os.path.join(frames_root, seq)
+            for fname in sorted(f for f in os.listdir(seq_path) if f.endswith(".png")):
+                path = os.path.join(seq_path, fname)
+                if kps is None:  # one decode per video to learn the resolution
+                    h, w = load_frame_path(path).shape[:2]
+                    kps = blurball_table_keypoints(camera_info, (w, h))
+                samples.append(BlurBallTableSample(path, kps))
+    rnd = np.random.RandomState(0)
+    rnd.shuffle(samples)
+    if mode == "val":
+        samples = samples[: len(samples) // 2][::10]
+    elif mode == "test":
+        samples = samples[len(samples) // 2 :]
+    return samples
+
+
+def load_blurball_table_batch(root: str, samples: Sequence[BlurBallTableSample]):
+    imgs = [load_frame_path(s.path) for s in samples]
+    kps = np.stack([s.keypoints for s in samples])
+    return np.stack(imgs), kps[..., :2], kps[..., 2]
 
 
 class Prefetcher:

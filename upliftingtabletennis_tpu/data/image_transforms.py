@@ -267,3 +267,55 @@ def augment_detection_batch(key, images, coords, visibility, dst_wh: Tuple[int, 
     out_imgs = color_jitter(k2, out_imgs, cfg)
     out_imgs = normalize_image(out_imgs)
     return out_imgs, out_coords, visibility
+
+
+# ---------------------------------------------------------------------------
+# Video-native ingest: planar I420 (YUV 4:2:0) -> RGB on device
+# ---------------------------------------------------------------------------
+
+def i420_to_rgb(frames_i420, height: int, width: int):
+    """Convert planar I420 frames to RGB uint8 on device.
+
+    frames_i420: (T, height * 3 // 2, width) uint8 in the standard I420
+    memory layout — rows [0, H) the Y plane, the next H//4 rows the U plane
+    ((H/2, W/2) stored W-wide), the last H//4 rows the V plane.
+
+    Video decoders natively emit YUV 4:2:0 (12 bits/px); converting to RGB
+    on device instead of on host halves the host->device bytes — the
+    dominant cost of the streaming pipeline on hosts with a slow link
+    (SURVEY §7.3). Full-range BT.601 ("JPEG") coefficients, matching what
+    cv2.cvtColor(..., COLOR_YUV2RGB_I420) computes.
+    """
+    H, W = height, width
+    y = frames_i420[:, :H, :].astype(jnp.float32)
+    u = frames_i420[:, H : H + H // 4, :].reshape(-1, H // 2, W // 2).astype(jnp.float32)
+    v = frames_i420[:, H + H // 4 :, :].reshape(-1, H // 2, W // 2).astype(jnp.float32)
+    # chroma upsample: nearest x2 (cv2's I420 converter replicates chroma)
+    u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2) - 128.0
+    v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2) - 128.0
+    r = y + 1.402 * v
+    g = y - 0.344136 * u - 0.714136 * v
+    b = y + 1.772 * u
+    rgb = jnp.stack([r, g, b], axis=-1)
+    return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+
+
+def rgb_to_i420(frames_rgb: "np.ndarray") -> "np.ndarray":
+    """Host-side exact inverse layout builder (numpy): RGB uint8 (T, H, W, 3)
+    -> planar I420 uint8 (T, H * 3 // 2, W). Full-range BT.601. Chroma is
+    box-averaged 2x2. For tests and for synthesizing video-native input."""
+    import numpy as np
+
+    f = frames_rgb.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    T, H, W = y.shape
+    u2 = u.reshape(T, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+    v2 = v.reshape(T, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+    out = np.empty((T, H * 3 // 2, W), np.uint8)
+    out[:, :H] = np.clip(np.round(y), 0, 255)
+    out[:, H : H + H // 4] = np.clip(np.round(u2), 0, 255).reshape(T, H // 4, W)
+    out[:, H + H // 4 :] = np.clip(np.round(v2), 0, 255).reshape(T, H // 4, W)
+    return out

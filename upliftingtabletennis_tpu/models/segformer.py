@@ -35,6 +35,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from upliftingtabletennis_tpu.ops.dwconv import depthwise_conv3x3
+from upliftingtabletennis_tpu.ops.flash_attention import cross_attention
+
 CFG = {
     "b0": {"dims": (32, 64, 160, 256), "depths": (2, 2, 2, 2), "decoder_dim": 256},
     "b1": {"dims": (64, 128, 320, 512), "depths": (2, 2, 2, 2), "decoder_dim": 256},
@@ -75,26 +78,29 @@ class EfficientAttention(nn.Module):
         kv = nn.Dense(2 * C, name="kv")(kv_in).reshape(B, -1, 2, h, hd)
         k, v = kv[:, :, 0], kv[:, :, 1]
 
-        def attend(qc):
-            logits = jnp.einsum("bqhd,bkhd->bhqk", qc, k) * hd**-0.5
-            w = jax.nn.softmax(logits, axis=-1)
-            return jnp.einsum("bhqk,bkhd->bqhd", w, v)
-
-        # At full detector resolution, stage-1 has >100k query tokens: the
-        # dense (Nq, Nkv) softmax matrix alone exceeds HBM at batch 8.
-        # Chunk queries so only (CHUNK, Nkv) is live per step; XLA pipelines
-        # the scan. (The spatial reduction already keeps Nkv small.)
-        CHUNK = 8192
-        if N > CHUNK:
-            pad = (-N) % CHUNK
-            qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
-            nc = qp.shape[1] // CHUNK
-            qp = jnp.moveaxis(qp.reshape(B, nc, CHUNK, h, hd), 1, 0)
-            oc = jax.lax.map(attend, qp)  # (nc, B, CHUNK, h, hd)
-            o = jnp.moveaxis(oc, 0, 1).reshape(B, nc * CHUNK, C)[:, :N]
-        else:
-            o = attend(q).reshape(B, N, C)
+        # The spatial reduction keeps Nkv <= ~1400 at any detector
+        # resolution while Nq reaches ~100k in stage 1: exactly the
+        # many-queries/resident-KV case the Pallas one-pass flash kernel
+        # is built for (never materializes the (Nq, Nkv) logits in HBM).
+        # Dense XLA fallback on non-TPU backends (ops/flash_attention.py).
+        o = cross_attention(q, k, v).reshape(B, N, C)
         return nn.Dense(C, name="proj")(o)
+
+
+class DWConv3x3(nn.Module):
+    """Depthwise 3x3 with nn.Conv's param tree (kernel (3,3,1,C), bias (C,));
+    computed by the Pallas kernel on TPU (ops/dwconv.py) — XLA's grouped-conv
+    lowering is both slow and a compile-time hog at detector resolutions."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, y):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, 1, self.features), y.dtype
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), y.dtype)
+        return depthwise_conv3x3(y, kernel.astype(y.dtype), bias.astype(y.dtype))
 
 
 class MixFFN(nn.Module):
@@ -107,9 +113,7 @@ class MixFFN(nn.Module):
         hidden = self.dim * self.ratio
         y = nn.Dense(hidden, name="fc1")(x)
         y = y.reshape(B, H, W, hidden)
-        y = nn.Conv(
-            hidden, (3, 3), padding=[(1, 1), (1, 1)], feature_group_count=hidden, name="dwconv"
-        )(y)
+        y = DWConv3x3(hidden, name="dwconv")(y)
         y = y.reshape(B, N, hidden)
         y = nn.gelu(y, approximate=False)
         return nn.Dense(self.dim, name="fc2")(y)

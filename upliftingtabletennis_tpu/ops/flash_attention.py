@@ -1,0 +1,132 @@
+"""Pallas TPU flash attention for the detectors' "many queries, few KV" case.
+
+SegFormer's efficient attention (ref: the hub backbone behind
+balldetection/models/segformer_pp.py:12-19; architecture per Xie et al. 2021)
+spatially reduces K/V by sr_ratio, so every stage ends up with <= ~1400 KV
+tokens while stage-1 has ~100k queries at full detector resolution. XLA's
+dense softmax materializes the (Nq, Nkv) logits matrix in HBM — several GB of
+traffic per layer — which made attention HBM-bound (13.9 ms/block measured on
+v5e, ~1.5% MFU).
+
+This kernel exploits the shape: the whole K/V (and the (TQ, Nkv) logits tile)
+fit in VMEM, so a ONE-PASS kernel (no online softmax rescaling needed) tiles
+queries over the grid, keeps K/V resident, and never writes logits to HBM.
+Traffic drops to q + o reads/writes only.
+
+Numerics match the dense reference: logits and softmax in f32
+(preferred_element_type), output cast back to the input dtype.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, nkv: int):
+    """One (batch*head, query-tile) program: full softmax over resident KV."""
+    q = q_ref[0]  # (TQ, hd)
+    k = k_ref[0]  # (NKVP, hd)
+    v = v_ref[0]  # (NKVP, hd)
+    logits = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (TQ, NKVP)
+    if nkv < k.shape[0]:  # static padding mask for lane alignment
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, dimension=1)
+        logits = jnp.where(col < nkv, logits, -jnp.inf)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    w = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        w.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "q_tile", "interpret"))
+def flash_cross_attention(q, k, v, scale=None, q_tile=1024, interpret=False):
+    """softmax(q k^T * scale) v without materializing logits in HBM.
+
+    Args:
+      q: (B, Nq, h, hd)
+      k, v: (B, Nkv, h, hd) — Nkv * hd must fit VMEM (true for all SegFormer
+        stages: Nkv <= ~1400).
+      scale: logit scale; defaults to hd**-0.5.
+      q_tile: query tile per grid step.
+      interpret: run in the Pallas interpreter (CPU tests).
+
+    Returns (B, Nq, h, hd) in q.dtype.
+    """
+    B, Nq, h, hd = q.shape
+    Nkv = k.shape[1]
+    if scale is None:
+        scale = hd ** -0.5
+
+    # (B, h, N, hd) layout: contiguous per-(batch, head) slabs for the grid
+    qt = jnp.transpose(q, (0, 2, 1, 3)).reshape(B * h, Nq, hd)
+    kt = jnp.transpose(k, (0, 2, 1, 3)).reshape(B * h, Nkv, hd)
+    vt = jnp.transpose(v, (0, 2, 1, 3)).reshape(B * h, Nkv, hd)
+
+    TQ = min(q_tile, _round_up(Nq, 128))
+    nq_pad = _round_up(Nq, TQ)
+    nkv_pad = _round_up(Nkv, 128)
+    if nq_pad != Nq:
+        qt = jnp.pad(qt, ((0, 0), (0, nq_pad - Nq), (0, 0)))
+    if nkv_pad != Nkv:
+        kt = jnp.pad(kt, ((0, 0), (0, nkv_pad - Nkv), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, nkv_pad - Nkv), (0, 0)))
+
+    grid = (B * h, nq_pad // TQ)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=float(scale), nkv=Nkv),
+        out_shape=jax.ShapeDtypeStruct((B * h, nq_pad, hd), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TQ, hd), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv_pad, hd), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkv_pad, hd), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TQ, hd), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * h * Nq * Nkv * hd,
+            bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize
+            + B * h * nq_pad * hd * qt.dtype.itemsize,
+            transcendentals=B * h * Nq * Nkv,
+        ),
+        interpret=interpret,
+    )(qt, kt, vt)
+    out = out[:, :Nq].reshape(B, h, Nq, hd)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def dense_cross_attention(q, k, v, scale=None):
+    """XLA reference path (CPU fallback + parity tests). Same signature."""
+    hd = q.shape[-1]
+    if scale is None:
+        scale = hd ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, v)
+
+
+def cross_attention(q, k, v, scale=None):
+    """Dispatch: Pallas flash kernel on TPU, dense XLA elsewhere."""
+    if jax.default_backend() == "tpu":
+        return flash_cross_attention(q, k, v, scale=scale)
+    return dense_cross_attention(q, k, v, scale=scale)

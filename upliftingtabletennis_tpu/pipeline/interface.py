@@ -126,36 +126,78 @@ class _Detector:
 
             self._predict_chunk = predict_chunk
 
+            @jax.jit
+            def predict_images(images):
+                """images (B, H, W, C_in) uint8 pre-assembled (arbitrary
+                triples supported — no adjacency assumption)."""
+                images = images.astype(jnp.float32)
+                B = images.shape[0]
+                x = jax.image.resize(
+                    images, (B, MH, MW, images.shape[-1]), "bilinear", antialias=False
+                )
+                x = normalize_image(x)
+                if half:
+                    x = x.astype(jnp.bfloat16)
+                out = model.apply(variables, x)
+                heat = out[0] if isinstance(out, tuple) else out
+                heat = jnp.moveaxis(heat, -1, 1).astype(jnp.float32)
+                return extract_peaks(heat, WIDTH, HEIGHT, threshold=thr)
+
+            self._predict_images = predict_images
+
     def predict_on_device_frames(self, frames_dev, centers) -> np.ndarray:
         """frames_dev (T, H, W, 3) uint8 jax array; centers: iterable of
-        frame indices to evaluate -> peaks (len(centers), C_out, 3)."""
+        frame indices to evaluate -> peaks (len(centers), C_out, 3).
+
+        All chunk dispatches are issued asynchronously; results stay on
+        device and are fetched with ONE host transfer at the end — each
+        host<->device round-trip costs ~30 ms on a tunneled chip."""
         in_channels = 9 if self.task == "ball" else 3
         self._ensure_init(in_channels)
         centers = np.asarray(list(centers), np.int32)
         outs = []
+        n_valid = []
         for s in range(0, len(centers), self.chunk):
             idx = centers[s : s + self.chunk]
             n = len(idx)
             if n < self.chunk:  # pad to static chunk shape
                 idx = np.concatenate([idx, np.full(self.chunk - n, idx[-1], np.int32)])
-            preds = np.asarray(self._predict_chunk(frames_dev, jnp.asarray(idx)))
-            outs.append(preds[:n])
-        return np.concatenate(outs, axis=0)
+            outs.append(self._predict_chunk(frames_dev, jnp.asarray(idx)))
+            n_valid.append(n)
+        all_preds = np.asarray(jnp.concatenate(outs, axis=0))
+        keep = np.concatenate(
+            [np.arange(i * self.chunk, i * self.chunk + n) for i, n in enumerate(n_valid)]
+        )
+        return all_preds[keep]
 
     def _predict_frames(self, frames: np.ndarray) -> np.ndarray:
-        """frames (T, H, W, C) [0, 255] -> peaks (T, C_out, 3). Host entry:
-        transfers once as uint8 and runs the device-gather path."""
-        if frames.shape[-1] == 9:  # pre-built triplets: split to unique frames
-            # reconstruct the unique frame sequence [p0, c0, c1, ..., nT]
-            uniq = np.concatenate(
-                [frames[:1, ..., 0:3], frames[:, ..., 3:6], frames[-1:, ..., 6:9]], axis=0
+        """frames (T, H, W, C) [0, 255] -> peaks (T, C_out, 3). Host entry.
+
+        Single frames (C=3) upload once and use the device-gather chunk
+        path. Pre-built triplets (C=9) run through the direct path — the
+        (prev, cur, next) images may be arbitrary, non-adjacent frames
+        (the reference API accepts any triples, ref interface.py:93-120)."""
+        if frames.shape[-1] == 9:
+            self._ensure_init(9)
+            T = frames.shape[0]
+            outs, counts = [], []
+            arr = frames.astype(np.uint8) if frames.dtype != np.uint8 else frames
+            for s in range(0, T, self.chunk):
+                part = arr[s : s + self.chunk]
+                n = part.shape[0]
+                if n < self.chunk:
+                    part = np.concatenate(
+                        [part, np.repeat(part[-1:], self.chunk - n, axis=0)]
+                    )
+                outs.append(self._predict_images(jax.device_put(part)))
+                counts.append(n)
+            preds = np.asarray(jnp.concatenate(outs, axis=0))
+            keep = np.concatenate(
+                [np.arange(i * self.chunk, i * self.chunk + n) for i, n in enumerate(counts)]
             )
-            frames_dev = jax.device_put(uniq.astype(np.uint8))
-            centers = np.arange(1, 1 + frames.shape[0])
-        else:
-            frames_dev = jax.device_put(frames.astype(np.uint8))
-            centers = np.arange(frames.shape[0])
-        return self.predict_on_device_frames(frames_dev, centers)
+            return preds[keep]
+        frames_dev = jax.device_put(frames.astype(np.uint8))
+        return self.predict_on_device_frames(frames_dev, np.arange(frames.shape[0]))
 
 
 class BallDetector(_Detector):
@@ -282,6 +324,8 @@ class TableTennisPipeline:
     (ref: interface.py:255-260).
     """
 
+    _i420_convert = None
+
     def __init__(self, checkpoints: Optional[dict] = None, chunk=16):
         ck = checkpoints or {}
         self.ball_detector = BallDetector("segformerpp_b2", ck.get("ball_main"), chunk)
@@ -293,26 +337,105 @@ class TableTennisPipeline:
         )
         self.KEYPOINT_VISIBLE = 1
 
-    def predict(self, images: List[np.ndarray], fps: float):
-        """images: list of RGB frames (one rally); fps: video framerate.
-        Returns (spin_local (3,), positions_3d (T', 3))
-        (ref: interface.py:265-289).
+    def predict(self, images, fps: float, table_stride: int = 1,
+                pixel_format: str = "rgb"):
+        """images: list of RGB frames or one (T, H, W, 3) uint8 array (one
+        rally); fps: video framerate. Returns (spin_local (3,),
+        positions_3d (T', 3)) (ref: interface.py:265-289).
 
-        The rally transfers to the device ONCE as uint8 and all four
-        detectors gather their inputs on device — the reference re-uploads
-        per model per frame (interface.py:102-119)."""
-        frames_dev = jax.device_put(
-            np.stack([np.asarray(im) for im in images]).astype(np.uint8)
+        pixel_format="i420" accepts video-native planar YUV 4:2:0 frames
+        ((T, H*3//2, W) uint8, e.g. straight from a decoder) and converts
+        to RGB on device — halving host->device bytes, the dominant cost
+        when the link is slow (data/image_transforms.i420_to_rgb).
+
+        Streaming execution model (tuned for hosts where the host->device
+        link is the bottleneck — SURVEY §7.3 "where the 10x/chip target is
+        won or lost"): the rally is uploaded in chunk-sized slabs shared by
+        ALL FOUR detectors, every upload and every detector dispatch is
+        asynchronous so transfers overlap compute, and results are fetched
+        with one transfer per detector at the end. The reference re-uploads
+        per model per frame at batch 1 (ref interface.py:102-119).
+
+        table_stride > 1 evaluates the table detectors on every stride-th
+        frame only — the per-rally DBSCAN filter collapses keypoints across
+        frames anyway (static camera), so accuracy is unaffected while
+        table compute drops by the stride factor. Default 1 = reference
+        protocol.
+        """
+        if isinstance(images, np.ndarray) and images.dtype == np.uint8:
+            frames = images
+        else:
+            frames = np.stack([np.asarray(im) for im in images])
+            if frames.dtype != np.uint8:
+                frames = frames.astype(np.uint8)
+        if pixel_format == "i420":
+            HH, WW = frames.shape[1] * 2 // 3, frames.shape[2]
+            if self._i420_convert is None:
+                from upliftingtabletennis_tpu.data.image_transforms import i420_to_rgb
+
+                self._i420_convert = jax.jit(
+                    lambda s: i420_to_rgb(s, HH, WW)
+                )
+        T = frames.shape[0]
+        chunk = self.ball_detector.chunk
+        for d in (self.ball_detector, self.ball_detector_aux,
+                  self.table_detector, self.table_detector_aux):
+            d._ensure_init(9 if d.task == "ball" else 3)
+
+        # slab k holds frames [k*chunk - 1, k*chunk + chunk + 1) with edge
+        # clamping: 1-frame halo gives every detector its (prev, cur, next)
+        # triplet without duplicate uploads
+        fpad = np.concatenate([frames[:1], frames, frames[-1:]], axis=0)
+        n_slabs = (T + chunk - 1) // chunk
+        idx_all = jnp.asarray(np.arange(1, chunk + 1, dtype=np.int32))
+        ball_outs, table_outs = [], []
+        table_centers = np.arange(0, T, table_stride)
+        t_idx_cursor = 0
+        for k in range(n_slabs):
+            c0 = k * chunk
+            slab = fpad[c0 : c0 + chunk + 2]
+            if slab.shape[0] < chunk + 2:  # static shape for the last slab
+                slab = np.concatenate(
+                    [slab, np.repeat(slab[-1:], chunk + 2 - slab.shape[0], axis=0)]
+                )
+            slab_dev = jax.device_put(slab)  # async upload, shared by 4 models
+            if pixel_format == "i420":
+                slab_dev = self._i420_convert(slab_dev)  # YUV->RGB on device
+            ball_outs.append(
+                (
+                    self.ball_detector._predict_chunk(slab_dev, idx_all),
+                    self.ball_detector_aux._predict_chunk(slab_dev, idx_all),
+                )
+            )
+            in_slab = table_centers[
+                (table_centers >= c0) & (table_centers < c0 + chunk)
+            ]
+            if len(in_slab):
+                tloc = np.full(chunk, in_slab[-1] - c0 + 1, np.int32)
+                tloc[: len(in_slab)] = in_slab - c0 + 1
+                table_outs.append(
+                    (
+                        self.table_detector._predict_chunk(slab_dev, jnp.asarray(tloc)),
+                        self.table_detector_aux._predict_chunk(slab_dev, jnp.asarray(tloc)),
+                        len(in_slab),
+                    )
+                )
+
+        # single device->host fetch per detector (concat happens on device)
+        ball_main = np.asarray(jnp.concatenate([o[0] for o in ball_outs]))[:T, 0]
+        ball_aux = np.asarray(jnp.concatenate([o[1] for o in ball_outs]))[:T, 0]
+        tm = np.asarray(jnp.concatenate([o[0] for o in table_outs]))
+        ta = np.asarray(jnp.concatenate([o[1] for o in table_outs]))
+        keep = np.concatenate(
+            [np.arange(i * chunk, i * chunk + n) for i, (_, _, n) in enumerate(table_outs)]
         )
-        centers = np.arange(1, len(images) - 1)  # triplet-valid frames
+        table_main, table_aux = tm[keep], ta[keep]
 
-        ball_main = self.ball_detector.predict_on_device_frames(frames_dev, centers)[:, 0]
-        ball_aux = self.ball_detector_aux.predict_on_device_frames(frames_dev, centers)[:, 0]
-        ball, valid_idx, times = filters.filter_trajectory_ball(ball_main, ball_aux, fps)
-
-        all_frames = np.arange(len(images))
-        table_main = self.table_detector.predict_on_device_frames(frames_dev, all_frames)
-        table_aux = self.table_detector_aux.predict_on_device_frames(frames_dev, all_frames)
+        # interior frames only (the reference builds triples for frames
+        # 1..T-2, interface.py:275)
+        ball, valid_idx, times = filters.filter_trajectory_ball(
+            ball_main[1 : T - 1], ball_aux[1 : T - 1], fps
+        )
         table = filters.filter_trajectory_table(table_main, table_aux)
 
         b, t, tt, mask = filters.uplifting_inputs(ball, table, times, WIDTH, HEIGHT)

@@ -29,21 +29,37 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--task", choices=["ball", "table"], default="ball")
     p.add_argument("--model", type=str, default="segformerpp_b2")
+    p.add_argument("--data", choices=["tthq", "blurball"], default="tthq",
+                   help="blurball = the pretraining dataset (ref: train.py:64-70)")
     p.add_argument("--data_root", type=str, required=True)
+    p.add_argument("--pretraining", action="store_true",
+                   help="warm-start from the BlurBall-pretrained checkpoint at "
+                        "<save_dir>/pretraining_blurball/<model>/model "
+                        "(ref: balldetection/models/segformer_pp.py:57-67)")
+    p.add_argument("--init_checkpoint", type=str, default=None,
+                   help="explicit warm-start checkpoint path (overrides --pretraining)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--batch_size", type=int, default=4)
-    p.add_argument("--num_epochs", type=int, default=50)
+    p.add_argument("--num_epochs", type=int, default=None,
+                   help="default: 10 for blurball, 50 ball / 700 table on tthq "
+                        "(ref: balldetection/config.py:42, tabledetection/config.py:29)")
     p.add_argument("--val_iterations", type=int, default=500)
+    p.add_argument("--val_samples", type=int, default=None,
+                   help="cap validation set size (default: full val pass)")
     p.add_argument("--ema_decay", type=float, default=0.999)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--save_dir", type=str, default="saved_models")
     p.add_argument("--logdir", type=str, default="runs")
+    p.add_argument("--dp", type=int, default=None,
+                   help="data-parallel devices (default: all available)")
     p.add_argument("--max_steps", type=int, default=None, help="debug cap")
     p.add_argument("--resolution", type=int, nargs=2, default=None,
                    help="override model input resolution W H (debug/smoke)")
     p.add_argument("--eval_resolution", type=int, nargs=2, default=None,
                    help="override 1920x1080 eval resolution (debug/smoke)")
     args = p.parse_args(argv)
+    if args.num_epochs is None:
+        args.num_epochs = 10 if args.data == "blurball" else (50 if args.task == "ball" else 700)
 
     import jax
     import jax.numpy as jnp
@@ -70,25 +86,43 @@ def main(argv=None):
     # the table task (ref: tabledetection/transforms.py:53)
     aug_cfg = ImageAugmentConfig(flip_prob=0.5 if task == "ball" else 0.0)
 
-    if task == "ball":
+    if task == "ball" and args.data == "tthq":
         index_tr = D.load_tthq_ball_index(args.data_root, "train")
         index_va = D.load_tthq_ball_index(args.data_root, "val")
         load = D.load_ball_batch
-    else:
+    elif task == "ball":  # blurball pretraining run
+        index_tr = D.load_blurball_index(args.data_root, "train")
+        index_va = D.load_blurball_index(args.data_root, "val")
+        load = D.load_blurball_ball_batch
+    elif args.data == "tthq":
         index_tr = D.load_tthq_table_index(args.data_root, "train")
         index_va = D.load_tthq_table_index(args.data_root, "val")
+        load = D.load_table_batch
+    else:
+        index_tr = D.load_blurball_table_index(args.data_root, "train")
+        index_va = D.load_blurball_table_index(args.data_root, "val")
+        load = D.load_blurball_table_batch
 
-        def load(root, samples):
-            imgs, kps, vis = D.load_table_batch(root, samples)
-            return imgs, kps, vis
-
-    print(f"[data] {len(index_tr)} train / {len(index_va)} val samples")
+    print(f"[data] {args.data}: {len(index_tr)} train / {len(index_va)} val samples")
 
     rng = jax.random.PRNGKey(args.seed)
     example = jnp.zeros((args.batch_size, MH, MW, 9 if task == "ball" else 3))
     variables = jax.jit(model.init)(rng, example)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+
+    init_ckpt = args.init_checkpoint
+    if init_ckpt is None and args.pretraining:
+        init_ckpt = os.path.join(args.save_dir, "pretraining_blurball", args.model, "model")
+    if init_ckpt:
+        # warm start from the BlurBall-pretrained weights: the reference's
+        # pretrain -> finetune handoff (ref: balldetection/train.py:58-60)
+        from upliftingtabletennis_tpu.utils.checkpoint import load_checkpoint
+
+        warm, _, _ = load_checkpoint(init_ckpt)
+        params = warm["params"]
+        batch_stats = warm.get("batch_stats", batch_stats)
+        print(f"[init] warm-started from {init_ckpt}")
     ema_params = params
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(args.lr))
     opt_state = tx.init(params)
@@ -102,12 +136,15 @@ def main(argv=None):
         imgs, c_model, v = augment_detection_batch(
             k1, images, coords, vis, (MW, MH), aug_cfg, True
         )
-        # coords at eval res for the target heatmap (ref: train flow)
+        # coords at eval res for the target heatmap (ref: train flow). For
+        # the ball task coords carry (center, streak_min, streak_max); only
+        # the center renders a heatmap (ref: dataset.py:434-440)
         c_eval = jnp.stack(
             [(c_model[..., 0] + 0.5) * EW / MW - 0.5, (c_model[..., 1] + 0.5) * EH / MH - 0.5],
             -1,
         )
-        target = M.render_gaussian_heatmaps(c_eval, v, EH, EW, 6.0)  # (B, P, EH, EW)
+        tp = 1 if task == "ball" else n_points
+        target = M.render_gaussian_heatmaps(c_eval[:, :tp], v[:, :tp], EH, EW, 6.0)
 
         def loss_fn(p):
             out = model.apply(
@@ -149,7 +186,8 @@ def main(argv=None):
 
     def validate(ema, batch_stats, key):
         preds_all, gts_all = [], []
-        for s in range(0, min(len(index_va), 64), args.batch_size):
+        n_val = len(index_va) if args.val_samples is None else min(len(index_va), args.val_samples)
+        for s in range(0, n_val, args.batch_size):
             batch = index_va[s : s + args.batch_size]
             if len(batch) < args.batch_size:
                 break
@@ -161,14 +199,16 @@ def main(argv=None):
             gts_all.append(np.asarray(gts))
         if not preds_all:
             return {}
-        preds = np.concatenate(preds_all).reshape(-1, n_points, 3)
-        gts = np.concatenate(gts_all).reshape(-1, n_points, 3)
+        preds = np.concatenate(preds_all)
+        gts = np.concatenate(gts_all)
         out = {}
         for tol in (2, 5, 10, 20):
             if task == "ball":
-                pq = preds.reshape(-1, 3)
-                gq = gts.reshape(-1, 3)
-                out[f"pck{tol}"] = float(M.pck_ball(pq, gq[:, :2], gq[:, :2], gq[:, :2], tol))
+                # streak PCK: distance to the (min, center, max) blur segments
+                pq = preds[:, 0]  # (N, 3) single-channel peak
+                out[f"pck{tol}"] = float(
+                    M.pck_ball(pq, gts[:, 0, :2], gts[:, 1, :2], gts[:, 2, :2], tol)
+                )
             else:
                 out[f"pck{tol}"] = float(M.pck_keypoints(preds, gts, tol))
         return out
