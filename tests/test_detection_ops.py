@@ -98,3 +98,39 @@ def test_segformer_classify_head():
     v = model.init(jax.random.PRNGKey(0), x)
     heat, cls = model.apply(v, x)
     assert cls.shape == (2, 2)
+
+
+def test_flip_test_heatmaps():
+    """Flip-test TTA: for a W-symmetric model the averaged output must be
+    (near) W-symmetric; flip_back swaps paired channels and un-flips W
+    (ref: topdown_heatmap_simple_head.py:188-218)."""
+    import jax.numpy as jnp
+
+    from upliftingtabletennis_tpu.ops.heatmap_decode import flip_back, flip_test_heatmaps
+
+    rng = np.random.default_rng(0)
+    heat = jnp.asarray(rng.uniform(size=(2, 4, 6, 3)), jnp.float32)
+    # no pairs, no shift: flip_back(flip(x)) == x
+    np.testing.assert_allclose(
+        np.asarray(flip_back(heat[:, :, ::-1, :], (), shift=False)), np.asarray(heat)
+    )
+    # channel pairs swap
+    out = flip_back(heat, ((0, 2),), shift=False)
+    np.testing.assert_allclose(np.asarray(out[..., 0]), np.asarray(heat[:, :, ::-1, 2]))
+    # shift moves content right by one pixel
+    out = flip_back(heat, (), shift=True)
+    np.testing.assert_allclose(np.asarray(out[:, :, 1:, :]), np.asarray(heat[:, :, ::-1, :][:, :, :-1, :]))
+
+    # identity 'model': flip_back exactly undoes the input flip -> avg == x
+    apply_fn = lambda x: x
+    img = jnp.asarray(rng.uniform(size=(1, 4, 6, 1)), jnp.float32)
+    avg = flip_test_heatmaps(apply_fn, img, (), shift=False)
+    np.testing.assert_allclose(np.asarray(avg), np.asarray(img), rtol=1e-6)
+
+    # flip-sensitive 'model' (prefers left half): averaging symmetrizes
+    wgt = jnp.linspace(1.0, 0.0, 6).reshape(1, 1, 6, 1)
+    apply_fn2 = lambda x: x * wgt
+    avg2 = np.asarray(flip_test_heatmaps(apply_fn2, img, (), shift=False))
+    expect = 0.5 * (np.asarray(img) * np.asarray(wgt)
+                    + (np.asarray(img)[:, :, ::-1] * np.asarray(wgt))[:, :, ::-1])
+    np.testing.assert_allclose(avg2, expect, rtol=1e-6)

@@ -149,7 +149,7 @@ def test_pretrain_then_finetune_handoff(fake_blurball, fake_tthq, tmp_path):
             "--data_root", fake_blurball, "--batch_size", "2",
             "--val_iterations", "1", "--max_steps", "1",
             "--resolution", "128", "96", "--eval_resolution", "256", "192",
-            "--save_dir", str(save),
+            "--save_dir", str(save), "--logdir", str(save / "runs"),
         ]
     )
     # locate the saved checkpoint and expose it at the pretraining path
@@ -168,7 +168,7 @@ def test_pretrain_then_finetune_handoff(fake_blurball, fake_tthq, tmp_path):
             "--data_root", fake_tthq, "--pretraining", "--batch_size", "2",
             "--val_iterations", "1", "--max_steps", "1",
             "--resolution", "128", "96", "--eval_resolution", "256", "192",
-            "--save_dir", str(save),
+            "--save_dir", str(save), "--logdir", str(save / "runs"),
         ]
     )
 
@@ -184,6 +184,6 @@ def test_trainer_smoke(fake_tthq, task, model, tmp_path):
             "--batch_size", "2", "--num_epochs", "1", "--val_iterations", "2",
             "--max_steps", "2", "--resolution", "128", "96",
             "--eval_resolution", "256", "192",
-            "--save_dir", str(tmp_path / "ckpt"),
+            "--save_dir", str(tmp_path / "ckpt"), "--logdir", str(tmp_path / "runs"),
         ]
     )

@@ -119,3 +119,55 @@ def test_oks_nms_basic():
     ]
     keep = oks_nms(db, thr=0.5)
     assert 0 in keep and 2 in keep and 1 not in keep
+
+
+def test_oks_iou_vectorized_matches_reference_loop():
+    """The vectorized oks_iou must match the reference's per-candidate loop
+    (ref: vit_pose/vit_utils/nms/nms.py oks_iou)."""
+    from upliftingtabletennis_tpu.ops.nms import COCO_SIGMAS, oks_iou
+
+    rng = np.random.default_rng(0)
+    K = 17
+    g = rng.uniform(0, 100, 3 * K)
+    d = rng.uniform(0, 100, (5, 3 * K))
+    a_g, a_d = 50.0, rng.uniform(30, 80, 5)
+
+    def ref_loop(g, d, a_g, a_d, vis_thr=None):
+        vars_ = (COCO_SIGMAS * 2) ** 2
+        xg, yg, vg = g[0::3], g[1::3], g[2::3]
+        ious = np.zeros(len(d))
+        for n_d in range(len(d)):
+            xd, yd, vd = d[n_d, 0::3], d[n_d, 1::3], d[n_d, 2::3]
+            e = ((xd - xg) ** 2 + (yd - yg) ** 2) / vars_ / ((a_g + a_d[n_d]) / 2 + np.spacing(1)) / 2
+            if vis_thr is not None:
+                ind = (vg > vis_thr) & (vd > vis_thr)
+                e = e[ind]
+            ious[n_d] = np.sum(np.exp(-e)) / len(e) if len(e) else 0.0
+        return ious
+
+    np.testing.assert_allclose(oks_iou(g, d, a_g, a_d), ref_loop(g, d, a_g, a_d), rtol=1e-10)
+    np.testing.assert_allclose(
+        oks_iou(g, d, a_g, a_d, vis_thr=50.0), ref_loop(g, d, a_g, a_d, vis_thr=50.0), rtol=1e-10
+    )
+
+
+def test_soft_oks_nms():
+    """Soft NMS keeps the top pose, decays overlapping poses, and orders by
+    decayed score (ref: vit_pose/vit_utils/nms/nms.py:137-177)."""
+    from upliftingtabletennis_tpu.ops.nms import soft_oks_nms
+
+    rng = np.random.default_rng(1)
+    K = 17
+    base = rng.uniform(20, 80, (K, 3))
+    near = base + rng.normal(0, 0.5, (K, 3))  # near-duplicate of base
+    far = base + 500.0
+    db = [
+        {"score": 0.9, "keypoints": base, "area": 100.0},
+        {"score": 0.8, "keypoints": near, "area": 100.0},
+        {"score": 0.5, "keypoints": far, "area": 100.0},
+    ]
+    keep = soft_oks_nms(db, thresh=0.3)
+    assert keep[0] == 0
+    # the far pose keeps its score; the near-duplicate is decayed below it
+    assert keep.index(2) < keep.index(1)
+    assert set(keep) == {0, 1, 2}  # soft NMS never hard-drops (within max_dets)

@@ -115,3 +115,42 @@ def keypoints_from_heatmaps(heatmaps, post_process: str = "default", kernel: int
 
     coords, maxvals = jax.vmap(decode_one)(flat)
     return coords.reshape(B, K, 2), maxvals.reshape(B, K, 1)
+
+
+# ---------------------------------------------------------------------------
+# Flip-test inference (ref: topdown_heatmap_simple_head.py:188-218 +
+# post_processing/post_transforms.py flip_back)
+# ---------------------------------------------------------------------------
+
+def flip_back(heatmaps, flip_pairs=(), shift: bool = True):
+    """Un-flip heatmaps predicted on horizontally flipped inputs.
+
+    heatmaps: (B, h, w, C) NHWC predictions for the FLIPPED images.
+    flip_pairs: sequence of (a, b) channel index pairs that swap identity
+    under mirroring (left ear <-> right ear); empty for symmetric targets
+    like the single ball channel.
+    shift: translate the un-flipped maps right by one pixel — the reference's
+    'shift_heatmap' alignment fix (ref: topdown_heatmap_simple_head.py:213-214).
+    """
+    out = heatmaps[:, :, ::-1, :]
+    if flip_pairs:
+        C = out.shape[-1]
+        idx = list(range(C))
+        for a, b in flip_pairs:
+            idx[a], idx[b] = idx[b], idx[a]
+        out = out[..., jnp.asarray(idx)]
+    if shift:
+        out = jnp.concatenate([out[:, :, :1, :], out[:, :, :-1, :]], axis=2)
+    return out
+
+
+def flip_test_heatmaps(apply_fn, images, flip_pairs=(), shift: bool = True):
+    """Average the forward pass with a horizontally-flipped pass.
+
+    apply_fn: images (B, H, W, C_in) NHWC -> heatmaps (B, h, w, C_out).
+    Mirrors the reference's optional test-time flip augmentation
+    (ref: topdown_heatmap_simple_head.py:194-218).
+    """
+    heat = apply_fn(images)
+    heat_f = apply_fn(images[:, :, ::-1, :])
+    return 0.5 * (heat + flip_back(heat_f, flip_pairs, shift))

@@ -133,25 +133,70 @@ def nms(dets: np.ndarray, thresh: float, use_pallas: bool = None) -> list:
     return idx[np.argsort(-dets[idx, 4], kind="stable")].tolist()
 
 
+# COCO keypoint sigmas (the standard per-joint falloff constants of the OKS
+# metric, cocodataset.org/#keypoints-eval)
+COCO_SIGMAS = np.array(
+    [.26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62, 1.07, 1.07,
+     .87, .87, .89, .89]) / 10.0
+
+
 def oks_iou(g, d, a_g, a_d, sigmas=None, vis_thr=None):
-    """Object-keypoint-similarity between a GT pose and candidate poses
-    (ref: vit_pose/vit_utils/nms/nms.py oks_iou)."""
+    """Object-keypoint-similarity between one pose and N candidate poses.
+
+    Vectorized over candidates AND joints (the reference loops candidates,
+    ref: vit_pose/vit_utils/nms/nms.py oks_iou). g (3K,), d (N, 3K),
+    a_g scalar area, a_d (N,).
+    """
     if sigmas is None:
-        sigmas = np.array(
-            [.26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62, 1.07, 1.07,
-             .87, .87, .89, .89]) / 10.0
-    vars_ = (sigmas * 2) ** 2
-    xg, yg, vg = g[0::3], g[1::3], g[2::3]
-    ious = np.zeros(len(d))
-    for n_d in range(len(d)):
-        xd, yd, vd = d[n_d, 0::3], d[n_d, 1::3], d[n_d, 2::3]
-        dx, dy = xd - xg, yd - yg
-        e = (dx**2 + dy**2) / vars_ / ((a_g + a_d[n_d]) / 2 + np.spacing(1)) / 2
-        if vis_thr is not None:
-            ind = (vg > vis_thr) & (vd > vis_thr)
-            e = e[ind]
-        ious[n_d] = np.sum(np.exp(-e)) / len(e) if len(e) else 0.0
-    return ious
+        sigmas = COCO_SIGMAS
+    vars_ = (sigmas * 2) ** 2  # (K,)
+    d = np.asarray(d, np.float64).reshape(len(d), -1, 3) if len(d) else np.zeros((0, len(vars_), 3))
+    g = np.asarray(g, np.float64).reshape(-1, 3)
+    a_d = np.asarray(a_d, np.float64)
+    sq = (d[:, :, 0] - g[None, :, 0]) ** 2 + (d[:, :, 1] - g[None, :, 1]) ** 2  # (N, K)
+    e = sq / vars_[None, :] / ((a_g + a_d[:, None]) / 2 + np.spacing(1)) / 2
+    if vis_thr is not None:
+        m = (g[None, :, 2] > vis_thr) & (d[:, :, 2] > vis_thr)  # (N, K)
+        cnt = m.sum(axis=1)
+        s = np.where(m, np.exp(-e), 0.0).sum(axis=1)
+        return np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
+    return np.exp(-e).mean(axis=1) if e.shape[1] else np.zeros(len(d))
+
+
+def rescore(overlap, scores, thresh, type="gaussian"):
+    """Soft-NMS score decay (ref: vit_pose/vit_utils/nms/nms.py:126-134)."""
+    assert overlap.shape[0] == scores.shape[0]
+    scores = scores.copy()
+    if type == "linear":
+        inds = np.where(overlap >= thresh)[0]
+        scores[inds] = scores[inds] * (1 - overlap[inds])
+    else:
+        scores = scores * np.exp(-(overlap**2) / thresh)
+    return scores
+
+
+def soft_oks_nms(kpts_db, thresh, sigmas=None, vis_thr=None, max_dets=20):
+    """Soft OKS NMS: greedy selection with gaussian score decay instead of
+    hard suppression (ref: vit_pose/vit_utils/nms/nms.py:137-177)."""
+    if len(kpts_db) == 0:
+        return []
+    scores = np.array([k["score"] for k in kpts_db], np.float64)
+    kpts = np.array([np.asarray(k["keypoints"]).flatten() for k in kpts_db])
+    areas = np.array([k["area"] for k in kpts_db], np.float64)
+
+    order = scores.argsort()[::-1]
+    scores = scores[order]
+    keep = []
+    while order.size > 0 and len(keep) < max_dets:
+        i = order[0]
+        ovr = oks_iou(kpts[i], kpts[order[1:]], areas[i], areas[order[1:]], sigmas, vis_thr)
+        order = order[1:]
+        scores = rescore(ovr, scores[1:], thresh)
+        resort = scores.argsort()[::-1]
+        order = order[resort]
+        scores = scores[resort]
+        keep.append(int(i))
+    return keep
 
 
 def oks_nms(kpts_db, thr, sigmas=None, vis_thr=None):

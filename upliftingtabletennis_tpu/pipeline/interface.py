@@ -50,11 +50,15 @@ class _Detector:
     """Shared chunked-inference machinery for ball/table detectors."""
 
     def __init__(self, model_name, task, checkpoint=None, chunk=16, threshold=-np.inf,
-                 resolution=None, half_precision=None):
+                 resolution=None, half_precision=None, flip_test=False):
         self.model_name = model_name
         self.task = task
         self.chunk = chunk
         self.threshold = float(threshold)
+        # optional horizontal flip-test TTA (ref:
+        # topdown_heatmap_simple_head.py:188-218); ball only — flipping
+        # swaps left/right table keypoint identities (ref transforms.py:53)
+        self.flip_test = bool(flip_test)
         if half_precision is None:
             half_precision = jax.default_backend() == "tpu"
         self.half_precision = bool(half_precision)
@@ -90,6 +94,18 @@ class _Detector:
             thr = self.threshold
             half = self.half_precision
             triplet = in_channels == 9
+            use_flip = self.flip_test
+
+            def forward_heat(x):
+                out = model.apply(variables, x)
+                heat = out[0] if isinstance(out, tuple) else out
+                if use_flip:
+                    from upliftingtabletennis_tpu.ops.heatmap_decode import flip_back
+
+                    out_f = model.apply(variables, x[:, :, ::-1, :])
+                    heat_f = out_f[0] if isinstance(out_f, tuple) else out_f
+                    heat = 0.5 * (heat + flip_back(heat_f))
+                return heat
 
             @jax.jit
             def predict_chunk(frames_dev, idx):
@@ -119,9 +135,7 @@ class _Detector:
                 x = normalize_image(x)
                 if half:
                     x = x.astype(jnp.bfloat16)
-                out = model.apply(variables, x)
-                heat = out[0] if isinstance(out, tuple) else out
-                heat = jnp.moveaxis(heat, -1, 1).astype(jnp.float32)  # (B, C, h, w)
+                heat = jnp.moveaxis(forward_heat(x), -1, 1).astype(jnp.float32)
                 return extract_peaks(heat, WIDTH, HEIGHT, threshold=thr)
 
             self._predict_chunk = predict_chunk
@@ -138,9 +152,7 @@ class _Detector:
                 x = normalize_image(x)
                 if half:
                     x = x.astype(jnp.bfloat16)
-                out = model.apply(variables, x)
-                heat = out[0] if isinstance(out, tuple) else out
-                heat = jnp.moveaxis(heat, -1, 1).astype(jnp.float32)
+                heat = jnp.moveaxis(forward_heat(x), -1, 1).astype(jnp.float32)
                 return extract_peaks(heat, WIDTH, HEIGHT, threshold=thr)
 
             self._predict_images = predict_images
@@ -203,9 +215,10 @@ class _Detector:
 class BallDetector(_Detector):
     """Ball detection on 3-frame triplets (ref: interface.py:83-134)."""
 
-    def __init__(self, model_name="segformerpp_b2", checkpoint=None, chunk=16, resolution=None):
+    def __init__(self, model_name="segformerpp_b2", checkpoint=None, chunk=16, resolution=None,
+                 flip_test=False):
         super().__init__(model_name, "ball", checkpoint, chunk, threshold=-np.inf,
-                         resolution=resolution)
+                         resolution=resolution, flip_test=flip_test)
 
     def predict(self, image_triples: Sequence):
         """image_triples: sequence of (prev, cur, next) RGB uint8/float arrays.
@@ -337,11 +350,14 @@ class TableTennisPipeline:
         )
         self.KEYPOINT_VISIBLE = 1
 
-    def predict(self, images, fps: float, table_stride: int = 1,
-                pixel_format: str = "rgb"):
-        """images: list of RGB frames or one (T, H, W, 3) uint8 array (one
-        rally); fps: video framerate. Returns (spin_local (3,),
-        positions_3d (T', 3)) (ref: interface.py:265-289).
+    def run_rally(self, images, fps: float, table_stride: int = 1,
+                  pixel_format: str = "rgb"):
+        """Full rally pipeline returning all intermediates (detections,
+        filter outputs, 3D trajectory) — the combined-eval protocols need
+        them (ref: inference_combined.py:103-163, 233-283).
+
+        images: list of RGB frames or one (T, H, W, 3) uint8 array; fps:
+        video framerate.
 
         pixel_format="i420" accepts video-native planar YUV 4:2:0 frames
         ((T, H*3//2, W) uint8, e.g. straight from a decoder) and converts
@@ -438,8 +454,26 @@ class TableTennisPipeline:
         )
         table = filters.filter_trajectory_table(table_main, table_aux)
 
-        b, t, tt, mask = filters.uplifting_inputs(ball, table, times, WIDTH, HEIGHT)
-        return self.uplifting_model.predict_without_normalization(b, t, mask, tt)
+        spin = pos3d = None
+        if len(ball) >= 2:
+            b, t, tt, mask = filters.uplifting_inputs(ball, table, times, WIDTH, HEIGHT)
+            spin, pos3d = self.uplifting_model.predict_without_normalization(b, t, mask, tt)
+        return {
+            "ball": ball,            # (T', 2) filtered detections, 1920x1080 px
+            "valid_idx": valid_idx,  # (T',) indices into interior frames 1..T-2
+            "times": times,          # (T',) seconds
+            "table": table,          # (13, 3) fused keypoints + visibility
+            "spin": spin,            # (3,) local spin or None
+            "pos3d": pos3d,          # (T'', 3) world trajectory or None
+        }
+
+    def predict(self, images, fps: float, table_stride: int = 1,
+                pixel_format: str = "rgb"):
+        """images: list of RGB frames or one (T, H, W, 3) uint8 array (one
+        rally); fps: video framerate. Returns (spin_local (3,),
+        positions_3d (T', 3)) (ref: interface.py:265-289)."""
+        out = self.run_rally(images, fps, table_stride, pixel_format)
+        return out["spin"], out["pos3d"]
 
     def calibrate_camera(self, keypoints):
         return TableDetector.calibrate_camera(np.asarray(keypoints))

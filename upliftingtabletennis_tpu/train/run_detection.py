@@ -184,6 +184,39 @@ def main(argv=None):
         gts = jnp.concatenate([c_eval, v[..., None]], -1)
         return preds, gts
 
+    @jax.jit
+    def infer_viz(params, batch_stats, images, coords, vis, key):
+        """First-val-batch visualization pieces: model-res images + heatmaps."""
+        imgs, c_model, v = augment_detection_batch(
+            key, images, coords, vis, (MW, MH), aug_cfg, False
+        )
+        vars_ = {"params": params}
+        if batch_stats:
+            vars_["batch_stats"] = batch_stats
+        heat, _ = eval_model.apply(vars_, imgs)
+        return imgs, jnp.moveaxis(heat, -1, 1), c_model, v
+
+    def log_val_overlay(ema, batch_stats, key, step):
+        """Heatmap/keypoint overlay figures during validation
+        (ref: balldetection/train.py:186-242)."""
+        from upliftingtabletennis_tpu.data.image_transforms import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+        from upliftingtabletennis_tpu.utils.visualization import heatmap_overlay_image
+
+        imgs, coords, vis = load(args.data_root, index_va[: args.batch_size])
+        x, heat, c_model, v = infer_viz(
+            ema, batch_stats, jnp.asarray(imgs), jnp.asarray(coords), jnp.asarray(vis), key
+        )
+        # de-normalize the (possibly 9-channel triplet) center frame
+        x0 = np.asarray(x[0])
+        center = x0[..., 3:6] if x0.shape[-1] == 9 else x0[..., :3]
+        center = (center * np.asarray(IMAGENET_STD) + np.asarray(IMAGENET_MEAN)) * 255.0
+        gt = np.concatenate([np.asarray(c_model[0]), np.asarray(v[0])[:, None]], -1)
+        img = heatmap_overlay_image(center, np.asarray(heat[0]), gt_coords=gt)
+        writer.add_image("val/overlay", img, step, dataformats="HWC")
+
     def validate(ema, batch_stats, key):
         preds_all, gts_all = [], []
         n_val = len(index_va) if args.val_samples is None else min(len(index_va), args.val_samples)
@@ -215,7 +248,14 @@ def main(argv=None):
 
     identifier = f"{task}_{args.model}_{time.strftime('%m%d%Y-%H%M%S')}"
     hparams = {"task": task, "model": args.model, "lr": args.lr, "batch_size": args.batch_size,
-               "resolution": [MW, MH], "in_frames": 3 if task == "ball" else 1}
+               "resolution": [MW, MH], "in_frames": 3 if task == "ball" else 1,
+               "data": args.data}
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(os.path.join(args.logdir, identifier))
+    except Exception:
+        writer = None
     best_pck5 = -1.0
     it = 0
     steps_per_epoch = len(index_tr) // args.batch_size
@@ -238,6 +278,11 @@ def main(argv=None):
                 rng, k = jax.random.split(rng)
                 metrics = validate(ema_params, batch_stats, k)
                 print(f"it {it}: loss {float(loss):.4f} {metrics}")
+                if writer:
+                    writer.add_scalar("train/loss", float(loss), it)
+                    for mk, mv in metrics.items():
+                        writer.add_scalar(f"val/{mk}", mv, it)
+                    log_val_overlay(ema_params, batch_stats, k, it)
                 if metrics.get("pck5", -1) > best_pck5:
                     best_pck5 = metrics["pck5"]
                     save_checkpoint(

@@ -197,6 +197,20 @@ def main():
             writer.add_scalar("val/metric position", metric_pos, epoch)
             writer.add_scalar("val/metric 2D", metric_2d, epoch)
             writer.add_scalar("val/metric 2D normed", norm_2d, epoch)
+            if epoch % 10 == 0:  # per-axis sign-confusion renders (ref: train.py:210-214)
+                from upliftingtabletennis_tpu.utils.visualization import (
+                    confusion_matrix_image,
+                )
+
+                tp, tn = np.asarray(tot["tp"]), np.asarray(tot["tn"])
+                fp, fn = np.asarray(tot["fp"]), np.asarray(tot["fn"])
+                for ax_i, ax_name in enumerate("xyz"):
+                    img = confusion_matrix_image(
+                        int(tp[ax_i]), int(tn[ax_i]), int(fp[ax_i]), int(fn[ax_i]),
+                        title=f"omega_{ax_name} sign",
+                    )
+                    writer.add_image(f"val/confusion {ax_name}", img, epoch,
+                                     dataformats="HWC")
         return metric, metric_pos, norm_2d
 
     from upliftingtabletennis_tpu.core.geometry import HEIGHT, WIDTH
@@ -225,6 +239,24 @@ def main():
             writer.add_scalar("val real/metric 2D normed", norm_2d, epoch)
             writer.add_scalar("val real/macro f1", spin["macro_f1"], epoch)
             writer.add_scalar("val real/accuracy", spin["accuracy"], epoch)
+            if epoch % 10 == 0:  # ROC render + missortings (ref: helper.py:459-540)
+                from upliftingtabletennis_tpu.utils.visualization import (
+                    count_missortings,
+                    roc_curve_image,
+                )
+
+                lab = np.concatenate(labels)
+                sc = np.concatenate(scores)
+                annotated = (lab == 1) | (lab == 2)
+                if annotated.sum() >= 2 and len(np.unique(lab[annotated])) > 1:
+                    y = (lab[annotated] == 1).astype(int)
+                    writer.add_image(
+                        "val real/roc", roc_curve_image(y, sc[annotated]), epoch,
+                        dataformats="HWC",
+                    )
+                    n_miss, thr = count_missortings(y, sc[annotated])
+                    writer.add_scalar("val real/missortings", n_miss, epoch)
+                    writer.add_scalar("val real/optimal threshold", thr, epoch)
         return norm_2d, spin["macro_f1"]
 
     def save(name, epoch, params):
