@@ -119,7 +119,7 @@ def datagen_tps():
 
         from upliftingtabletennis_tpu.data.datagen import generate_candidates
 
-        n = 512
+        n = 4096
         cand = generate_candidates(jax.random.PRNGKey(0), n, "intermediate", "left_to_right")
         int(np.asarray(cand["accept"]).sum())  # warmup + force completion
         t0 = time.perf_counter()

@@ -173,14 +173,15 @@ def test_pretrain_then_finetune_handoff(fake_blurball, fake_tthq, tmp_path):
     )
 
 
-@pytest.mark.parametrize("task,model", [("ball", "wasb"), ("table", "vitpose")])
-def test_trainer_smoke(fake_tthq, task, model, tmp_path):
-    """Two real optimizer steps + a validation pass through the actual CLI."""
+@pytest.mark.parametrize("task,model,dp", [("ball", "wasb", 2), ("table", "vitpose", 1)])
+def test_trainer_smoke(fake_tthq, task, model, dp, tmp_path):
+    """Two real optimizer steps + a validation pass through the actual CLI;
+    the ball case shards the batch over a 2-device dp mesh."""
     from upliftingtabletennis_tpu.train.run_detection import main
 
     main(
         [
-            "--task", task, "--model", model, "--data_root", fake_tthq,
+            "--task", task, "--model", model, "--data_root", fake_tthq, "--dp", str(dp),
             "--batch_size", "2", "--num_epochs", "1", "--val_iterations", "2",
             "--max_steps", "2", "--resolution", "128", "96",
             "--eval_resolution", "256", "192",

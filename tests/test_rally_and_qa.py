@@ -95,3 +95,30 @@ def test_left_right_swap_detection():
     stats = camera_statistics([(Mint, Mext)])
     assert abs(stats["fx"][0] - 2710) < 1e-3
     assert abs(stats["distance"][0] - np.linalg.norm(c)) < 1e-3
+
+
+def test_render_annotation_check(tmp_path):
+    """Headless annotation-QA render: flags a swapped pair in red, writes a
+    PNG (ref: dataprocessing/check_annotations.py, interactive there)."""
+    import jax.numpy as jnp
+
+    from upliftingtabletennis_tpu.core import geometry as G
+    from upliftingtabletennis_tpu.data.annotation_qa import render_annotation_check
+
+    W, H = 640, 360
+    Mint = jnp.asarray([[900.0, 0, W / 2], [0, 900.0, H / 2], [0, 0, 1]])
+    c = jnp.asarray([-8.0, 0.0, 2.0])
+    fwd = -c / jnp.linalg.norm(c)
+    Mext = G.get_Mext(c, fwd, jnp.asarray([0.0, -1.0, 0.0]))
+    px = np.asarray(G.world2img(jnp.asarray(G.TABLE_POINTS, jnp.float32), Mext, Mint))
+    kps = np.concatenate([px, np.ones((13, 1))], -1).astype(np.float32)
+    kps[[0, 1]] = kps[[1, 0]]  # swap a mirrored pair
+    kps[[0, 1], 2] = 1
+
+    img = np.zeros((H, W, 3), np.uint8)
+    out = str(tmp_path / "check.png")
+    render = render_annotation_check(img, kps, (W, H), out_path=out)
+    assert render.ndim == 3 and render.shape[2] == 3
+    import os
+
+    assert os.path.exists(out)

@@ -91,3 +91,67 @@ def camera_statistics(cameras: List[Tuple[np.ndarray, np.ndarray]]) -> Dict[str,
         "fx": np.asarray(fx), "fy": np.asarray(fy),
         "distance": np.asarray(dist), "phi_deg": np.asarray(phi),
     }
+
+
+def render_annotation_check(image, keypoints, resolution=None, out_path=None,
+                            margin: float = 0.5):
+    """Headless visual annotation check (ref: dataprocessing/
+    check_annotations.py, which is an interactive cv2 viewer).
+
+    Renders the frame with annotated keypoints (green = consistent,
+    red = flagged as likely left/right-swapped by the calibration-
+    consistency test), the reprojected table after calibration (orange),
+    and the table wireframe. Returns the (H, W, 3) uint8 render; writes a
+    PNG when out_path is given.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    import jax.numpy as jnp
+
+    from upliftingtabletennis_tpu.core.calibration import calibrate_from_keypoints
+    from upliftingtabletennis_tpu.core.geometry import (
+        TABLE_CONNECTIONS,
+        TABLE_POINTS,
+        world2img,
+    )
+    from upliftingtabletennis_tpu.utils.visualization import _fig_to_image
+
+    img = np.asarray(image).astype(np.uint8)
+    H, W = img.shape[:2]
+    resolution = resolution or (W, H)
+    kps = np.asarray(keypoints, np.float32)
+    flagged_pairs, _ = detect_left_right_swaps(kps, resolution, margin)
+    swaps = [LEFT_RIGHT_PAIRS[pi] for pi in flagged_pairs]
+    flagged = {i for pair in swaps for i in pair}
+
+    fig, ax = plt.subplots(figsize=(12, 7))
+    ax.imshow(img)
+    for i, (x, y, v) in enumerate(kps):
+        if v != 1:
+            continue
+        color = "red" if i in flagged else "lime"
+        ax.scatter([x], [y], c=color, s=60)
+        ax.annotate(str(i + 1), (x + 4, y - 4), color=color, fontsize=9)
+
+    if (kps[:, 2] == 1).sum() >= 6:
+        Mint, Mext, _ = calibrate_from_keypoints(
+            jnp.asarray(kps), tuple(resolution), use_ransac=True
+        )
+        proj = np.asarray(world2img(jnp.asarray(TABLE_POINTS, jnp.float32),
+                                    Mext, Mint))
+        ax.scatter(proj[:, 0], proj[:, 1], c="orange", s=25, marker="x")
+        for a, b in TABLE_CONNECTIONS:
+            ax.plot(proj[[a, b], 0], proj[[a, b], 1], c="orange", lw=0.8, alpha=0.7)
+    title = "annotation OK" if not swaps else f"suspected swaps: {[(a+1, b+1) for a, b in swaps]}"
+    ax.set_title(title)
+    ax.axis("off")
+    fig.tight_layout()
+    render = _fig_to_image(fig)
+    if out_path is not None:
+        import matplotlib.image
+
+        matplotlib.image.imsave(out_path, render)
+    return render

@@ -404,24 +404,43 @@ def generate_candidates(key, n: int, mode: str, direction: str):
     }
 
 
-def generate_dataset(key, num_trajectories: int, mode: str, direction: str, batch: int = 512):
+_COMPACT_FIELDS = ("positions", "velocities", "rotations", "frame_valid", "bounces", "n_bounces")
+
+
+@partial(jax.jit, static_argnames=("n", "mode", "direction", "max_keep"))
+def _generate_compacted(key, n: int, mode: str, direction: str, max_keep: int):
+    """Candidates + ON-DEVICE compaction of the accepted rows.
+
+    Pulling full (n, 500, 3) candidate arrays to the host to select the few
+    percent accepted costs ~10x the simulation itself on a slow link; the
+    gather keeps the transfer to (max_keep, ...) only."""
+    cand = generate_candidates(key, n, mode, direction)
+    idx = jnp.nonzero(cand["accept"], size=max_keep, fill_value=0)[0]
+    n_acc = jnp.minimum(jnp.sum(cand["accept"]), max_keep)
+    out = {k: cand[k][idx] for k in _COMPACT_FIELDS}
+    out["times"] = cand["times"]
+    out["n_accepted"] = n_acc
+    return out
+
+
+def generate_dataset(key, num_trajectories: int, mode: str, direction: str, batch: int = 4096):
     """Keep sampling batches until `num_trajectories` accepted (host loop).
 
     Returns numpy arrays truncated/stacked to num_trajectories, mirroring the
     reference's quota loop (ref: get_valid_trajectories, :222-238).
     """
-    out = {k: [] for k in ("positions", "velocities", "rotations", "frame_valid", "bounces", "n_bounces")}
+    out = {k: [] for k in _COMPACT_FIELDS}
     times = None
     total = 0
+    max_keep = max(batch // 8, 64)  # acceptance rates are a few percent
     while total < num_trajectories:
         key, sub = jax.random.split(key)
-        cand = generate_candidates(sub, batch, mode, direction)
-        acc = np.asarray(cand["accept"])
+        cand = _generate_compacted(sub, batch, mode, direction, max_keep)
+        n_acc = int(np.asarray(cand["n_accepted"]))
         times = np.asarray(cand["times"])
-        sel = np.nonzero(acc)[0]
         for k in out:
-            out[k].append(np.asarray(cand[k])[sel])
-        total += len(sel)
+            out[k].append(np.asarray(cand[k])[:n_acc])
+        total += n_acc
     res = {k: np.concatenate(v)[:num_trajectories] for k, v in out.items()}
     res["times"] = times
     return res

@@ -26,7 +26,7 @@ def main(argv=None):
     p.add_argument("--folder", type=str, default="syntheticdata")
     p.add_argument("--mode", type=str, default="intermediate")
     p.add_argument("--direction", type=str, default="left_to_right")
-    p.add_argument("--batch", type=int, default=2048)
+    p.add_argument("--batch", type=int, default=8192)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 

@@ -38,13 +38,16 @@ def measure(task: str, name: str, batch: int, iters: int, resolution=None, dtype
     @jax.jit
     def fwd(x):
         out = model.apply(variables, x)
-        return out[0] if isinstance(out, tuple) else out
+        out = out[0] if isinstance(out, tuple) else out
+        # scalar carry: forces real execution in the timing loop below
+        return out, jnp.sum(out, dtype=jnp.float32)
 
-    jax.block_until_ready(fwd(x))  # compile
+    _, acc = fwd(x)  # compile
+    np.asarray(acc)  # block_until_ready is unreliable on remoted backends
     t0 = time.perf_counter()
     for _ in range(iters):
-        r = fwd(x)
-    jax.block_until_ready(r)
+        _, acc = fwd(x)
+    np.asarray(acc)  # host readback = real completion barrier
     dt = (time.perf_counter() - t0) / iters
     return {
         "model": name,

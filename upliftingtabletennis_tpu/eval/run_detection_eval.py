@@ -17,7 +17,8 @@ import numpy as np
 
 
 def evaluate_checkpoint(task: str, ckpt_path: str, data_root: str, batch_size=8,
-                        resolution=None, eval_resolution=None, limit=None):
+                        resolution=None, eval_resolution=None, limit=None,
+                        flip_test=False):
     import jax
     import jax.numpy as jnp
 
@@ -59,6 +60,16 @@ def evaluate_checkpoint(task: str, ckpt_path: str, data_root: str, batch_size=8,
         heat, _ = (lambda o: o if isinstance(o, tuple) else (o, None))(
             model.apply(variables, imgs)
         )
+        if flip_test:
+            # optional horizontal flip-test TTA (ball only — flip swaps
+            # left/right table identities; ref: topdown_heatmap_simple_head
+            # .py:188-218)
+            from upliftingtabletennis_tpu.ops.heatmap_decode import flip_back
+
+            heat_f, _ = (lambda o: o if isinstance(o, tuple) else (o, None))(
+                model.apply(variables, imgs[:, :, ::-1, :])
+            )
+            heat = 0.5 * (heat + flip_back(heat_f))
         heat = jnp.moveaxis(heat, -1, 1)
         preds = extract_peaks(heat, EW, EH, threshold=-jnp.inf if task == "ball" else 0.1)
         c_eval = jnp.stack(
@@ -74,20 +85,26 @@ def evaluate_checkpoint(task: str, ckpt_path: str, data_root: str, batch_size=8,
         preds, gts = infer(jnp.asarray(imgs), jnp.asarray(coords), jnp.asarray(vis))
         preds_all.append(np.asarray(preds))
         gts_all.append(np.asarray(gts))
-    preds = np.concatenate(preds_all).reshape(-1, n_points, 3)
-    gts = np.concatenate(gts_all).reshape(-1, n_points, 3)
+    preds = np.concatenate(preds_all)
+    gts = np.concatenate(gts_all)
 
     out = {}
     for tol in (2, 5, 10, 20):
         if task == "ball":
-            pq, gq = preds.reshape(-1, 3), gts.reshape(-1, 3)
+            # gts rows: (center, streak_min, streak_max) at eval res
+            pq = jnp.asarray(preds[:, 0])
             out[f"pck{tol}"] = float(
-                M.pck_ball(jnp.asarray(pq), jnp.asarray(gq[:, :2]), jnp.asarray(gq[:, :2]),
-                           jnp.asarray(gq[:, :2]), tol)
+                M.pck_ball(pq, jnp.asarray(gts[:, 0, :2]), jnp.asarray(gts[:, 1, :2]),
+                           jnp.asarray(gts[:, 2, :2]), tol)
             )
         else:
             out[f"pck{tol}"] = float(M.pck_keypoints(jnp.asarray(preds), jnp.asarray(gts), tol))
-    out["avg_dist"] = float(M.average_distance(jnp.asarray(preds), jnp.asarray(gts)))
+    if task == "ball":
+        out["avg_dist"] = float(
+            M.average_distance(jnp.asarray(preds), jnp.asarray(gts[:, :1]))
+        )
+    else:
+        out["avg_dist"] = float(M.average_distance(jnp.asarray(preds), jnp.asarray(gts)))
     return out
 
 
@@ -98,10 +115,13 @@ def main(argv=None):
     p.add_argument("--data_root", required=True)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--flip_test", action="store_true",
+                   help="horizontal flip-test TTA (ball only)")
     args = p.parse_args(argv)
 
     for ckpt in args.checkpoints:
-        m = evaluate_checkpoint(args.task, ckpt, args.data_root, args.batch_size, limit=args.limit)
+        m = evaluate_checkpoint(args.task, ckpt, args.data_root, args.batch_size,
+                                limit=args.limit, flip_test=args.flip_test)
         print(f"{ckpt}: " + "  ".join(f"{k}={v:.4f}" for k, v in m.items()))
 
 

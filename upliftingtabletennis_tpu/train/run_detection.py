@@ -105,6 +105,26 @@ def main(argv=None):
 
     print(f"[data] {args.data}: {len(index_tr)} train / {len(index_va)} val samples")
 
+    # data-parallel mesh: batch sharded over 'dp', params replicated; XLA
+    # partitions the jitted step into per-device compute + psum gradient
+    # reduction (SURVEY §2.8 parallelism note / §5.8)
+    from upliftingtabletennis_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        replicate,
+        replicated_sharding,
+    )
+
+    n_dp = args.dp or len(jax.devices())
+    if args.batch_size % n_dp != 0:
+        n_dp = 1
+    mesh = make_mesh(n_dp=n_dp, devices=jax.devices()[:n_dp])
+    shard_b = batch_sharding(mesh)
+    print(f"[parallel] dp={n_dp} device(s)")
+
+    def put_batch(*arrays):
+        return tuple(jax.device_put(jnp.asarray(a), shard_b) for a in arrays)
+
     rng = jax.random.PRNGKey(args.seed)
     example = jnp.zeros((args.batch_size, MH, MW, 9 if task == "ball" else 3))
     variables = jax.jit(model.init)(rng, example)
@@ -123,6 +143,8 @@ def main(argv=None):
         params = warm["params"]
         batch_stats = warm.get("batch_stats", batch_stats)
         print(f"[init] warm-started from {init_ckpt}")
+    params = replicate(mesh, params)
+    batch_stats = replicate(mesh, batch_stats)
     ema_params = params
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(args.lr))
     opt_state = tx.init(params)
@@ -269,9 +291,9 @@ def main(argv=None):
 
         for imgs, coords, vis in D.Prefetcher(make_batch, steps_per_epoch):
             rng, k = jax.random.split(rng)
+            b_imgs, b_coords, b_vis = put_batch(imgs, coords, vis)
             params, batch_stats, opt_state, ema_params, loss = train_step(
-                params, batch_stats, opt_state, ema_params,
-                k, jnp.asarray(imgs), jnp.asarray(coords), jnp.asarray(vis),
+                params, batch_stats, opt_state, ema_params, k, b_imgs, b_coords, b_vis,
             )
             it += 1
             if it % args.val_iterations == 0 or (args.max_steps and it >= args.max_steps):
