@@ -104,3 +104,25 @@ def test_dryrun_entry_in_process():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_distributed_helpers_single_process():
+    """Single-process semantics of the multi-host helpers
+    (ref: vit_pose/vit_utils/dist_util.py get_dist_info/master_only)."""
+    from upliftingtabletennis_tpu.parallel import distributed as dist
+
+    assert dist.process_count() == 1
+    assert dist.process_index() == 0
+    assert dist.is_main_process()
+    assert dist.local_batch_slice(32) == slice(0, 32)
+    # initialize is a no-op without cluster env
+    assert dist.initialize_multihost() is False
+
+    calls = []
+
+    @dist.main_process_only
+    def log(x):
+        calls.append(x)
+        return x
+
+    assert log(7) == 7 and calls == [7]

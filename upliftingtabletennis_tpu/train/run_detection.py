@@ -53,6 +53,9 @@ def main(argv=None):
     p.add_argument("--dp", type=int, default=None,
                    help="data-parallel devices (default: all available)")
     p.add_argument("--max_steps", type=int, default=None, help="debug cap")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (the reference's detect_anomaly, "
+                        "ref: uplifting/train.py:25-26)")
     p.add_argument("--resolution", type=int, nargs=2, default=None,
                    help="override model input resolution W H (debug/smoke)")
     p.add_argument("--eval_resolution", type=int, nargs=2, default=None,
@@ -64,6 +67,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     import optax
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from upliftingtabletennis_tpu.data import detection as D
     from upliftingtabletennis_tpu.data.image_transforms import (
@@ -272,12 +278,16 @@ def main(argv=None):
     hparams = {"task": task, "model": args.model, "lr": args.lr, "batch_size": args.batch_size,
                "resolution": [MW, MH], "in_frames": 3 if task == "ball" else 1,
                "data": args.data}
-    try:
-        from torch.utils.tensorboard import SummaryWriter
+    from upliftingtabletennis_tpu.parallel.distributed import is_main_process
 
-        writer = SummaryWriter(os.path.join(args.logdir, identifier))
-    except Exception:
-        writer = None
+    writer = None
+    if is_main_process():  # rank-aware logging (ref: dist_util master_only)
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            writer = SummaryWriter(os.path.join(args.logdir, identifier))
+        except Exception:
+            writer = None
     best_pck5 = -1.0
     it = 0
     steps_per_epoch = len(index_tr) // args.batch_size

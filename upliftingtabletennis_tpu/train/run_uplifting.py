@@ -58,7 +58,7 @@ def build_store(args):
     )
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--batch_size", type=int, default=64)
@@ -81,9 +81,17 @@ def main():
     p.add_argument("--generate", type=int, default=256, help="per-mode count when generating data")
     p.add_argument("--logdir", type=str, default="runs")
     p.add_argument("--save_dir", type=str, default="saved_models")
+    p.add_argument("--resume", type=str, default=None,
+                   help="resume full training state from <run_dir>/latest "
+                        "(exceeds the reference, which is save-only; SURVEY §5.4)")
+    p.add_argument("--save_latest_every", type=int, default=10,
+                   help="epochs between resumable 'latest' state snapshots")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (the reference's detect_anomaly, "
+                        "ref: uplifting/train.py:25-26)")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of epoch 1 into logdir")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
@@ -118,7 +126,13 @@ def main():
         "tablemiss_prob": args.tablemiss_prob, "transform_mode": args.transform_mode,
     }
 
+    from upliftingtabletennis_tpu.parallel.distributed import is_main_process
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
     try:
+        assert is_main_process()  # rank-aware logging (ref dist_util master_only)
         from torch.utils.tensorboard import SummaryWriter
 
         writer = SummaryWriter(os.path.join(args.logdir, identifier))
@@ -265,9 +279,22 @@ def main():
             {"epoch": epoch, **hparams},
         )
 
+    start_epoch = 0
+    if args.resume:
+        # restore the FULL optimizer state (params/ema/opt/step) and continue
+        from upliftingtabletennis_tpu.utils.checkpoint import load_checkpoint
+
+        tmpl = jax.device_get(state)
+        restored, identifier, info = load_checkpoint(args.resume, target=tmpl)
+        state = jax.tree.map(jnp.asarray, restored)
+        state = replicate(mesh, state)
+        start_epoch = int(info.get("epoch", -1)) + 1
+        best.update(info.get("best", {}))
+        print(f"[resume] {args.resume} -> epoch {start_epoch}")
+
     print(f"[train] {steps_per_epoch} steps/epoch on {jax.device_count()} device(s)")
-    it = 0
-    for epoch in range(args.num_epochs):
+    it = start_epoch * steps_per_epoch
+    for epoch in range(start_epoch, args.num_epochs):
         # device-time profile of one post-compile epoch (ref has no profiler;
         # SURVEY §5.1 — TPU equivalent of its wall-clock harnesses)
         if args.profile and epoch == 1:
@@ -318,6 +345,12 @@ def main():
                 best["spin_mixed"] = metric_spin
                 best["traj_mixed"] = metric_traj
                 save("model", epoch, state.ema_params)
+
+        if (epoch + 1) % args.save_latest_every == 0 or epoch == args.num_epochs - 1:
+            save_checkpoint(
+                os.path.join(args.save_dir, identifier, "latest"), state, identifier,
+                {"epoch": epoch, "best": best, **hparams},
+            )
 
     if writer:
         writer.close()
