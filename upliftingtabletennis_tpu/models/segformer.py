@@ -19,9 +19,11 @@ conv for 3*in_frames channels, out_channels 1 (ball) / 13 (table) heatmap
 head, optional visible/invisible classifier from pooled stage-4 features
 (ref: balldetection/models/segformer_pp.py:22-80).
 
-The "++" token-merging (ToMe 'bsm_hq') of the hub repo is a throughput
-optimization on GPU; on TPU, XLA fusion + NHWC convs at bf16 cover the gap.
-A Pallas token-merging pass is tracked as follow-up perf work.
+The "++" token-merging (ToMe 'bsm_hq') of the hub repo is implemented in
+ops/token_merge.py and enabled with `tome_ratio > 0` (fraction of query
+tokens merged inside each attention, unmerged right after — the paper's
+high-quality schedule). Default off: detection accuracy is exactly the
+plain-SegFormer path and golden tests pin it.
 
 Output heatmap is at 1/4 input resolution; the trainer upsamples logits
 bilinearly to the target size exactly like the reference
@@ -37,6 +39,11 @@ import jax.numpy as jnp
 
 from upliftingtabletennis_tpu.ops.dwconv import depthwise_conv3x3
 from upliftingtabletennis_tpu.ops.flash_attention import cross_attention
+from upliftingtabletennis_tpu.ops.token_merge import (
+    bipartite_soft_matching,
+    merge_tokens,
+    unmerge_tokens,
+)
 
 CFG = {
     "b0": {"dims": (32, 64, 160, 256), "depths": (2, 2, 2, 2), "decoder_dim": 256},
@@ -52,18 +59,32 @@ MLP_RATIOS = (4, 4, 4, 4)
 
 
 class EfficientAttention(nn.Module):
-    """Self-attention with spatial reduction of K/V (SegFormer eq. 2)."""
+    """Self-attention with spatial reduction of K/V (SegFormer eq. 2).
+
+    tome_ratio > 0 enables the SegFormer++ 'bsm_hq' schedule: bipartite
+    soft matching merges that fraction of QUERY tokens before attention and
+    unmerges right after, keeping full resolution for the residual/FFN
+    (ops/token_merge.py; ref backbone: balldetection/models/
+    segformer_pp.py:12-19)."""
 
     dim: int
     num_heads: int
     sr_ratio: int
+    tome_ratio: float = 0.0
 
     @nn.compact
     def __call__(self, x, H, W):
         B, N, C = x.shape
         h = self.num_heads
         hd = C // h
-        q = nn.Dense(C, name="q")(x).reshape(B, N, h, hd)
+
+        plan = None
+        xq = x
+        if self.tome_ratio > 0.0 and N >= 256:
+            plan = bipartite_soft_matching(x, int(N * self.tome_ratio))
+            xq = merge_tokens(plan, x)
+        Nq = xq.shape[1]
+        q = nn.Dense(C, name="q")(xq).reshape(B, Nq, h, hd)
 
         if self.sr_ratio > 1:
             kv_in = x.reshape(B, H, W, C)
@@ -83,7 +104,9 @@ class EfficientAttention(nn.Module):
         # many-queries/resident-KV case the Pallas one-pass flash kernel
         # is built for (never materializes the (Nq, Nkv) logits in HBM).
         # Dense XLA fallback on non-TPU backends (ops/flash_attention.py).
-        o = cross_attention(q, k, v).reshape(B, N, C)
+        o = cross_attention(q, k, v).reshape(B, Nq, C)
+        if plan is not None:
+            o = unmerge_tokens(plan, o)
         return nn.Dense(C, name="proj")(o)
 
 
@@ -124,11 +147,13 @@ class MiTBlock(nn.Module):
     num_heads: int
     sr_ratio: int
     mlp_ratio: int
+    tome_ratio: float = 0.0
 
     @nn.compact
     def __call__(self, x, H, W):
         y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        x = x + EfficientAttention(self.dim, self.num_heads, self.sr_ratio, name="attn")(y, H, W)
+        x = x + EfficientAttention(self.dim, self.num_heads, self.sr_ratio,
+                                   self.tome_ratio, name="attn")(y, H, W)
         y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         x = x + MixFFN(self.dim, self.mlp_ratio, name="ffn")(y, H, W)
         return x
@@ -139,6 +164,7 @@ class MiTBackbone(nn.Module):
 
     size: str = "b2"
     in_chans: int = 3
+    tome_ratio: float = 0.0
 
     @nn.compact
     def __call__(self, x):
@@ -157,7 +183,7 @@ class MiTBackbone(nn.Module):
             for b in range(cfg["depths"][s]):
                 x = MiTBlock(
                     cfg["dims"][s], HEADS[s], SR_RATIOS[s], MLP_RATIOS[s],
-                    name=f"stage{s}_block{b}",
+                    self.tome_ratio, name=f"stage{s}_block{b}",
                 )(x, H, W)
             x = nn.LayerNorm(epsilon=1e-6, name=f"stage_norm_{s}")(x)
             x = x.reshape(B, H, W, C)
@@ -204,10 +230,12 @@ class SegFormerNet(nn.Module):
     model_size: str = "b2"
     classify_invisible: bool = False
     train: bool = False
+    tome_ratio: float = 0.0  # SegFormer++ 'bsm_hq' token merging (0 = off)
 
     @nn.compact
     def __call__(self, x):
-        feats = MiTBackbone(self.model_size, 3 * self.in_frames, name="backbone")(x)
+        feats = MiTBackbone(self.model_size, 3 * self.in_frames, self.tome_ratio,
+                            name="backbone")(x)
         heat = SegFormerHead(
             self.out_channels, CFG[self.model_size]["decoder_dim"], self.train, name="decode_head"
         )(feats)
