@@ -177,3 +177,20 @@ def test_tt3d_loader_and_eval(tmp_path, traj_data):
     assert ("back", True) in res
     mean_cm, std_cm = res[("back", True)]
     assert np.isfinite(mean_cm) and mean_cm > 0
+
+
+def test_make_synthetic_ttst_roundtrip(tmp_path):
+    """The synthetic-TTST writer produces the layout load_ttst consumes
+    (data/make_synthetic_ttst.py; layout ref: extract_ttst_data.py:161-177)."""
+    from upliftingtabletennis_tpu.data.make_synthetic_ttst import write_synthetic_ttst
+    from upliftingtabletennis_tpu.data.ttst import load_ttst
+
+    n = write_synthetic_ttst(str(tmp_path), num=6, seed=5, modes=("intermediate",))
+    assert n == 6
+    batch = load_ttst(str(tmp_path / "ttst"), "all")
+    assert len(batch) == 6
+    assert set(np.unique(batch.spin_class)) <= {1.0, 2.0}
+    # annotated detections live inside the 2560x1440 working frame
+    m = batch.mask.astype(bool)
+    assert batch.r_img[m][:, 0].max() <= G.WIDTH and batch.r_img[m][:, 1].max() <= G.HEIGHT
+    assert (batch.r_img[m] >= 0).all()
