@@ -303,10 +303,15 @@ class UpliftingModel:
             )["params"]
         if self._fwd is None:
             model, params = self.model, self.params
+            to_local = self.transform_mode == "global"
 
             @jax.jit
             def fwd(ball, table, mask, times):
-                return model.apply({"params": params}, ball, table, mask, times)
+                rot, pos = model.apply({"params": params}, ball, table, mask, times)
+                if to_local:  # fused into the same dispatch: each extra
+                    # host round-trip costs ~30 ms on a tunneled chip
+                    rot = G.transform_rotation_axes(rot, pos)
+                return rot, pos
 
             self._fwd = fwd
 
@@ -316,8 +321,6 @@ class UpliftingModel:
         ball, table, mask, times = map(jnp.asarray, (ball, table, mask, times))
         self._ensure_init(ball, table, mask, times)
         rot, pos = self._fwd(ball, table, mask, times)
-        if self.transform_mode == "global":
-            rot = G.transform_rotation_axes(rot, pos)
         T_prime = int(np.asarray(mask).sum())
         return np.asarray(rot)[0], np.asarray(pos)[0, :T_prime]
 
