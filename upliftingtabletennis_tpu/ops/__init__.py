@@ -14,7 +14,8 @@ from upliftingtabletennis_tpu.ops.heatmap_decode import (
     flip_test_heatmaps,
     keypoints_from_heatmaps,
 )
-from upliftingtabletennis_tpu.ops.nms import nms, nms_mask, oks_iou, oks_nms, soft_oks_nms
+from upliftingtabletennis_tpu.ops import nms  # submodule (ops.nms.nms = greedy box NMS)
+from upliftingtabletennis_tpu.ops.nms import nms_mask, oks_iou, oks_nms, soft_oks_nms
 from upliftingtabletennis_tpu.ops.peak import extract_peaks
 from upliftingtabletennis_tpu.ops.token_merge import (
     bipartite_soft_matching,
