@@ -141,3 +141,39 @@ def test_full_pipeline_wiring():
     Mext[2, 3] = 5.0
     pts = pipe.reproject(np.array([[0.0, 0.0, 1.0]]), Mint, Mext)
     assert pts.shape == (1, 2)
+
+
+def test_pipeline_uint8_stride_and_i420_paths():
+    """Streaming engine variants: uint8 ndarray input, table_stride > 1, and
+    the I420 ingest path must all produce the same-shaped outputs as the
+    RGB list path (pixel-format conversion is lossy only in chroma)."""
+    from upliftingtabletennis_tpu.data.image_transforms import rgb_to_i420
+    from upliftingtabletennis_tpu.pipeline.interface import (
+        BallDetector,
+        TableDetector,
+        TableTennisPipeline,
+        UpliftingModel,
+    )
+
+    pipe = TableTennisPipeline.__new__(TableTennisPipeline)
+    pipe.ball_detector = BallDetector("wasb", chunk=4, resolution=(96, 64))
+    pipe.ball_detector_aux = BallDetector("wasb", chunk=4, resolution=(96, 64))
+    pipe.table_detector = TableDetector("hrnet", chunk=4, resolution=(96, 64))
+    pipe.table_detector_aux = TableDetector("hrnet", chunk=4, resolution=(96, 64))
+    pipe.uplifting_model = UpliftingModel(name="connectstage", size="small")
+    pipe.KEYPOINT_VISIBLE = 1
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 255, (9, 64, 96, 3), dtype=np.uint8)
+
+    out_ref = pipe.run_rally(frames, fps=50)
+    out_list = pipe.run_rally([f for f in frames], fps=50)
+    np.testing.assert_allclose(out_list["table"], out_ref["table"], atol=1e-4)
+    np.testing.assert_allclose(out_list["ball"], out_ref["ball"], atol=1e-4)
+
+    out_stride = pipe.run_rally(frames, fps=50, table_stride=2)
+    assert out_stride["table"].shape == (13, 3)
+
+    out_i420 = pipe.run_rally(rgb_to_i420(frames), fps=50, pixel_format="i420")
+    assert out_i420["table"].shape == (13, 3)
+    assert out_i420["ball"].shape[1:] == (2,)
