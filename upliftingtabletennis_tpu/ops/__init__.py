@@ -1,3 +1,9 @@
+from upliftingtabletennis_tpu.ops.ae_grouping import (
+    HeatmapParser,
+    match_by_tag,
+    nms_heatmaps,
+    top_k_candidates,
+)
 from upliftingtabletennis_tpu.ops.attention import (
     NEG_INF,
     apply_rope_over_time,
