@@ -96,13 +96,31 @@ class _Detector:
             triplet = in_channels == 9
             use_flip = self.flip_test
 
+            # HRNet-family models use the exact lane-packed inference path
+            # on TPU (models/hrnet_packed.py): batch-into-lanes block-diag
+            # convs + folded BN, measured 1.44x over the flax apply at the
+            # production chunk (parity-pinned by tests/test_hrnet_packed.py)
+            raw_variables = self._variables
+            if self.model_name == "wasb" and jax.default_backend() == "tpu":
+                from upliftingtabletennis_tpu.models.hrnet_packed import wasb_packed_apply
+
+                apply_fn = lambda x: wasb_packed_apply(raw_variables, x)
+            elif self.model_name == "hrnet" and jax.default_backend() == "tpu":
+                from upliftingtabletennis_tpu.models.hrnet_packed import (
+                    table_hrnet_packed_apply,
+                )
+
+                apply_fn = lambda x: table_hrnet_packed_apply(raw_variables, x)
+            else:
+                apply_fn = lambda x: model.apply(variables, x)
+
             def forward_heat(x):
-                out = model.apply(variables, x)
+                out = apply_fn(x)
                 heat = out[0] if isinstance(out, tuple) else out
                 if use_flip:
                     from upliftingtabletennis_tpu.ops.heatmap_decode import flip_back
 
-                    out_f = model.apply(variables, x[:, :, ::-1, :])
+                    out_f = apply_fn(x[:, :, ::-1, :])
                     heat_f = out_f[0] if isinstance(out_f, tuple) else out_f
                     heat = 0.5 * (heat + flip_back(heat_f))
                 return heat
