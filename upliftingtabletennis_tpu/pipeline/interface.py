@@ -72,6 +72,7 @@ class _Detector:
             variables, _, _ = load_checkpoint(checkpoint)
             self._variables = variables
         self._predict_chunk = None
+        self._chunk_body = None
 
     def _ensure_init(self, in_channels):
         if self._variables is None:
@@ -125,14 +126,16 @@ class _Detector:
                     heat = 0.5 * (heat + flip_back(heat_f))
                 return heat
 
-            @jax.jit
-            def predict_chunk(frames_dev, idx):
+            def predict_chunk_body(frames_dev, idx):
                 """frames_dev (T, H, W, 3) uint8 device-resident; idx (chunk,)
                 center frame indices. Gathers triplets, resizes, normalizes,
                 forwards and extracts peaks — all on device. The frames
                 transfer to HBM ONCE per rally (uint8), not once per model
                 per chunk: host->device bandwidth dominates everything else
-                on a tunneled chip (SURVEY §7.3)."""
+                on a tunneled chip (SURVEY §7.3). Unjitted body so the
+                pipeline can fuse all four detectors into ONE program per
+                slab (each program execution has a ~4 ms fixed floor on a
+                tunneled chip)."""
                 T = frames_dev.shape[0]
                 if triplet:
                     gather = [jnp.clip(idx - 1, 0, T - 1), idx, jnp.clip(idx + 1, 0, T - 1)]
@@ -156,7 +159,8 @@ class _Detector:
                 heat = jnp.moveaxis(forward_heat(x), -1, 1).astype(jnp.float32)
                 return extract_peaks(heat, WIDTH, HEIGHT, threshold=thr)
 
-            self._predict_chunk = predict_chunk
+            self._chunk_body = predict_chunk_body
+            self._predict_chunk = jax.jit(predict_chunk_body)
 
             @jax.jit
             def predict_images(images):
@@ -358,9 +362,39 @@ class TableTennisPipeline:
     (ref: interface.py:255-260).
     """
 
-    _i420_convert = None
+    def _slab_program(self, pixel_format: str, hw, with_table: bool = True):
+        """ONE jitted program per slab running i420 conversion (when used)
+        + all four detectors + peak extraction. Program executions carry a
+        ~4 ms fixed floor on a tunneled chip; fusing 4 programs into 1 cuts
+        the rally's dispatch count ~4x and lets XLA schedule the models'
+        ops together."""
+        key = (pixel_format, hw, with_table)
+        if not hasattr(self, "_slab_programs"):  # tolerate __new__-built pipelines
+            self._slab_programs = {}
+        fn = self._slab_programs.get(key)
+        if fn is not None:
+            return fn
+        dets = (self.ball_detector, self.ball_detector_aux) + (
+            (self.table_detector, self.table_detector_aux) if with_table else ()
+        )
+        if pixel_format == "i420":
+            from upliftingtabletennis_tpu.data.image_transforms import i420_to_rgb
 
-    def __init__(self, checkpoints: Optional[dict] = None, chunk=16):
+        @jax.jit
+        def slab_fn(slab_dev, idx_ball, idx_table):
+            if pixel_format == "i420":
+                slab_dev = i420_to_rgb(slab_dev, hw[0], hw[1])
+            return tuple(
+                d._chunk_body(slab_dev, idx_ball if d.task == "ball" else idx_table)
+                for d in dets
+            )
+
+        self._slab_programs[key] = slab_fn
+        return slab_fn
+
+    def __init__(self, checkpoints: Optional[dict] = None, chunk=8):
+        # chunk 8: the fused 4-model slab program exceeds the remote
+        # compile helper's capacity at chunk 16 (reproducible HTTP 500)
         ck = checkpoints or {}
         self.ball_detector = BallDetector("segformerpp_b2", ck.get("ball_main"), chunk)
         self.ball_detector_aux = BallDetector("wasb", ck.get("ball_aux"), chunk)
@@ -370,6 +404,7 @@ class TableTennisPipeline:
             UpliftingModel(ck["uplifting"]) if "uplifting" in ck else UpliftingModel()
         )
         self.KEYPOINT_VISIBLE = 1
+        self._slab_programs = {}
 
     def run_rally(self, images, fps: float, table_stride: int = 1,
                   pixel_format: str = "rgb"):
@@ -405,29 +440,29 @@ class TableTennisPipeline:
             frames = np.stack([np.asarray(im) for im in images])
             if frames.dtype != np.uint8:
                 frames = frames.astype(np.uint8)
+        hw = None
         if pixel_format == "i420":
-            HH, WW = frames.shape[1] * 2 // 3, frames.shape[2]
-            if self._i420_convert is None:
-                from upliftingtabletennis_tpu.data.image_transforms import i420_to_rgb
-
-                self._i420_convert = jax.jit(
-                    lambda s: i420_to_rgb(s, HH, WW)
-                )
+            hw = (frames.shape[1] * 2 // 3, frames.shape[2])
         T = frames.shape[0]
         chunk = self.ball_detector.chunk
         for d in (self.ball_detector, self.ball_detector_aux,
                   self.table_detector, self.table_detector_aux):
             d._ensure_init(9 if d.task == "ball" else 3)
+        slab_fn = self._slab_program(pixel_format, hw)
 
-        # slab k holds frames [k*chunk - 1, k*chunk + chunk + 1) with edge
-        # clamping: 1-frame halo gives every detector its (prev, cur, next)
-        # triplet without duplicate uploads
+        # Slab-pipelined uploads: slab k holds frames [k*chunk - 1,
+        # k*chunk + chunk + 1) with edge clamping — a 1-frame halo gives
+        # every detector its (prev, cur, next) triplet. device_put is
+        # async, so slab k+1's transfer overlaps slab k's fused program;
+        # on a tunneled chip whose host->device link swings 40-400 MB/s
+        # this pipelining is worth more than minimizing bytes (a single
+        # whole-rally upload serializes transfer before the first
+        # program). Halo overhead is 2/(chunk+2) — keep chunk >= 16.
         fpad = np.concatenate([frames[:1], frames, frames[-1:]], axis=0)
         n_slabs = (T + chunk - 1) // chunk
         idx_all = jnp.asarray(np.arange(1, chunk + 1, dtype=np.int32))
         ball_outs, table_outs = [], []
         table_centers = np.arange(0, T, table_stride)
-        t_idx_cursor = 0
         for k in range(n_slabs):
             c0 = k * chunk
             slab = fpad[c0 : c0 + chunk + 2]
@@ -436,27 +471,19 @@ class TableTennisPipeline:
                     [slab, np.repeat(slab[-1:], chunk + 2 - slab.shape[0], axis=0)]
                 )
             slab_dev = jax.device_put(slab)  # async upload, shared by 4 models
-            if pixel_format == "i420":
-                slab_dev = self._i420_convert(slab_dev)  # YUV->RGB on device
-            ball_outs.append(
-                (
-                    self.ball_detector._predict_chunk(slab_dev, idx_all),
-                    self.ball_detector_aux._predict_chunk(slab_dev, idx_all),
-                )
-            )
             in_slab = table_centers[
                 (table_centers >= c0) & (table_centers < c0 + chunk)
             ]
             if len(in_slab):
                 tloc = np.full(chunk, in_slab[-1] - c0 + 1, np.int32)
                 tloc[: len(in_slab)] = in_slab - c0 + 1
-                table_outs.append(
-                    (
-                        self.table_detector._predict_chunk(slab_dev, jnp.asarray(tloc)),
-                        self.table_detector_aux._predict_chunk(slab_dev, jnp.asarray(tloc)),
-                        len(in_slab),
-                    )
+                bm, ba, tm, ta = slab_fn(slab_dev, idx_all, jnp.asarray(tloc))
+                table_outs.append((tm, ta, len(in_slab)))
+            else:  # strided-table slab: ball-only program
+                bm, ba = self._slab_program(pixel_format, hw, with_table=False)(
+                    slab_dev, idx_all, idx_all
                 )
+            ball_outs.append((bm, ba))
 
         # single device->host fetch per detector (concat happens on device)
         ball_main = np.asarray(jnp.concatenate([o[0] for o in ball_outs]))[:T, 0]
