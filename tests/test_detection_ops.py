@@ -135,24 +135,3 @@ def test_flip_test_heatmaps():
                     + (np.asarray(img)[:, :, ::-1] * np.asarray(wgt))[:, :, ::-1])
     np.testing.assert_allclose(avg2, expect, rtol=1e-6)
 
-
-def test_patch_embed_s2d_matches_conv():
-    """PatchEmbed4x (space-to-depth stage-0 embed) is numerically identical
-    to the plain 7x7 stride-4 conv for divisible and non-divisible sizes."""
-    import flax.linen as nn
-    import jax
-    import jax.numpy as jnp
-
-    from upliftingtabletennis_tpu.models.segformer import PatchEmbed4x
-
-    rng = np.random.default_rng(0)
-    for H, W, C in [(64, 96, 9), (20, 24, 3)]:
-        x = jnp.asarray(rng.normal(size=(2, H, W, C)), jnp.float32)
-        ref = nn.Conv(32, (7, 7), strides=(4, 4), padding=[(3, 3), (3, 3)])
-        v = ref.init(jax.random.PRNGKey(0), x)
-        pe = PatchEmbed4x(32)
-        vp = {"params": {"kernel": v["params"]["kernel"], "bias": v["params"]["bias"]}}
-        a = ref.apply(v, x)
-        b = pe.apply(vp, x)
-        assert a.shape == b.shape
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

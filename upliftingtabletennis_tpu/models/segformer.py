@@ -159,58 +159,6 @@ class MiTBlock(nn.Module):
         return x
 
 
-class PatchEmbed4x(nn.Module):
-    """Stage-0 patch embed: 7x7 stride-4 conv, computed space-to-depth.
-
-    The naive conv reads a (B, H, W, 9)-ish tensor whose 9-channel minor
-    dim is lane-padded to 128 on TPU — a ~14x HBM read amplification that
-    made this one op ~20 ms/chunk at detector resolution. Packing 4x4
-    pixel phases into channels first ((B, H/4+1, W/4+1, 16C) after the
-    conv's (3,3) left/top padding) and convolving with the exactly
-    rearranged (2, 2, 16C, F) kernel is numerically identical: every
-    original 7x7 tap lands in one of the 2x2 packed taps' phase slots and
-    the unused slots are zero.
-
-    Param tree matches nn.Conv ('kernel' (7,7,C,F) + 'bias') so reference
-    checkpoint porting is unchanged. Falls back to the plain conv when
-    H or W is not divisible by 4.
-    """
-
-    features: int
-
-    @nn.compact
-    def __call__(self, x):
-        C = x.shape[-1]
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (7, 7, C, self.features)
-        )
-        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
-        kernel = kernel.astype(x.dtype)
-        B, H, W, _ = x.shape
-        if H % 4 or W % 4:
-            y = jax.lax.conv_general_dilated(
-                x, kernel, (4, 4), [(3, 3), (3, 3)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            return y + bias.astype(x.dtype)
-        xp = jnp.pad(x, ((0, 0), (3, 1), (3, 1), (0, 0)))
-        Hp, Wp = (H + 4) // 4, (W + 4) // 4
-        xp = jnp.transpose(
-            xp.reshape(B, Hp, 4, Wp, 4, C), (0, 1, 3, 2, 4, 5)
-        ).reshape(B, Hp, Wp, 16 * C)
-        w2 = jnp.zeros((2, 2, 16 * C, self.features), kernel.dtype)
-        for dy in range(7):
-            py, phy = (0, dy) if dy < 4 else (1, dy - 4)
-            for dx in range(7):
-                px, phx = (0, dx) if dx < 4 else (1, dx - 4)
-                lo = (phy * 4 + phx) * C
-                w2 = w2.at[py, px, lo : lo + C].set(kernel[dy, dx])
-        y = jax.lax.conv_general_dilated(
-            xp, w2, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
-        )
-        return y + bias.astype(x.dtype)
-
-
 class MiTBackbone(nn.Module):
     """Mix Transformer encoder: 4 stages at 1/4, 1/8, 1/16, 1/32 scale."""
 
@@ -225,7 +173,14 @@ class MiTBackbone(nn.Module):
         feats = []
         for s in range(self.num_stages):
             if s == 0:
-                x = PatchEmbed4x(cfg["dims"][0], name="patch_embed_0")(x)
+                # NB: a space-to-depth reformulation of this embed (pack 4x4
+                # pixel phases into channels + rearranged (2,2,16C,F) kernel)
+                # measured SLOWER on v5e (31 vs 20 ms/chunk8): XLA
+                # materializes the pad/transpose instead of fusing it into
+                # the producer, costing more than the 9->128 lane-padding
+                # read it avoids. Keep the plain conv.
+                x = nn.Conv(cfg["dims"][0], (7, 7), strides=(4, 4), padding=[(3, 3), (3, 3)],
+                            name="patch_embed_0")(x)
             else:
                 x = nn.Conv(cfg["dims"][s], (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                             name=f"patch_embed_{s}")(x)
@@ -248,7 +203,20 @@ def _resize_bilinear(x, hw):
 
 
 class SegFormerHead(nn.Module):
-    """All-MLP decode head -> heatmap at 1/4 input resolution."""
+    """All-MLP decode head -> heatmap at 1/4 input resolution.
+
+    Algebraically restructured for TPU: the reference computes
+    `fuse_conv(concat_i(resize(linear_c_i(f_i))))` — a 3072->768 1x1 conv
+    over the FULL 1/4-scale grid (3.4 TFLOP/chunk, the single most
+    expensive op in the net). Bilinear resize mixes only space and the 1x1
+    convs mix only channels, so they commute:
+        fuse(concat(resize(f_i @ Wc_i + bc_i)))
+          = sum_i resize(f_i @ (Wc_i @ Wf_i)) + sum_i bc_i @ Wf_i
+    with Wf_i the fuse kernel's per-stage row block (stage order reversed,
+    matching the reference's `proj[::-1]` concat). Each stage is projected
+    at its OWN resolution (4-64x fewer pixels for stages 2-4), eliminating
+    the full-grid wide matmul exactly (same params, float-assoc-level
+    identical outputs; pinned by test_segformer_head_restructure)."""
 
     out_channels: int
     decoder_dim: int
@@ -256,15 +224,35 @@ class SegFormerHead(nn.Module):
 
     @nn.compact
     def __call__(self, feats):
+        D = self.decoder_dim
         target_hw = feats[0].shape[1:3]
-        proj = []
+        # declare the reference param tree: per-stage projections + fuse
+        dense = [nn.Dense(D, name=f"linear_c{i}") for i in range(len(feats))]
+        fuse = nn.Conv(D, (1, 1), use_bias=False, name="linear_fuse")
+        # bind fuse params by running it on a dummy 3072-channel pixel
+        dummy = jnp.zeros((1, 1, 1, D * len(feats)), feats[0].dtype)
+        fuse(dummy)
+        wf = self.get_variable("params", "linear_fuse")["kernel"].reshape(
+            len(feats) * D, D
+        )
+        acc = None
+        bias_acc = None
         for i, f in enumerate(feats):
-            p = nn.Dense(self.decoder_dim, name=f"linear_c{i}")(f)
+            d = dense[i]
+            d(f[:1, :1])  # create/bind linear_c{i} params
+            pv = self.get_variable("params", f"linear_c{i}")
+            wc = pv["kernel"].astype(f.dtype)
+            bc = pv["bias"].astype(f.dtype)
+            # fuse block for stage i: concat order is proj[::-1]
+            blk = wf[(len(feats) - 1 - i) * D : (len(feats) - i) * D].astype(f.dtype)
+            m = wc @ blk  # (C_i, D)
+            t = f @ m
             if i > 0:
-                p = _resize_bilinear(p, target_hw)
-            proj.append(p)
-        x = jnp.concatenate(proj[::-1], axis=-1)
-        x = nn.Conv(self.decoder_dim, (1, 1), use_bias=False, name="linear_fuse")(x)
+                t = _resize_bilinear(t, target_hw)
+            acc = t if acc is None else acc + t
+            b = bc @ blk
+            bias_acc = b if bias_acc is None else bias_acc + b
+        x = acc + bias_acc
         x = nn.BatchNorm(use_running_average=not self.train, momentum=0.9, name="fuse_bn")(x)
         x = nn.relu(x)
         return nn.Conv(self.out_channels, (1, 1), name="conv_seg")(x)
