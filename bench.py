@@ -56,36 +56,57 @@ def make_rally(T=33, seed=0):
 
 
 def pipeline_fps(iters=3, T=33):
+    """Median-of-rallies end-to-end fps + a phase breakdown.
+
+    The host->device link of this tunneled chip swings 20-400 MB/s with
+    time of day, so the breakdown separates `link_MBps` (measured fresh)
+    and `compute_frames_per_sec` (detector programs on device-resident
+    frames — the deployment-relevant number when frames arrive over a
+    local PCIe/ICI link) from the end-to-end medians.
+    """
+    import jax
+    import jax.numpy as jnp
+
     from upliftingtabletennis_tpu.pipeline.interface import TableTennisPipeline
 
     pipe = TableTennisPipeline(chunk=8)
+    chunk = 8
     frames = make_rally(T)
     table = np.concatenate(
         [np.random.default_rng(0).uniform(100, 900, (13, 2)), np.ones((13, 1))], -1
     )
 
-    # warmup: compiles all four detectors + uplifting + calibration
+    # warmup: compiles the fused slab program + uplifting + calibration
     pipe.predict(frames, fps=50)
     pipe.calibrate_camera(table)
 
-    t0 = time.perf_counter()
+    ts = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         pipe.predict(frames, fps=50)
         pipe.calibrate_camera(table)
-    dt = time.perf_counter() - t0
-    fps = T * iters / dt
+        ts.append(time.perf_counter() - t0)
+    fps = T / float(np.median(ts))
 
-    # one-rally breakdown (each phase timed separately, not overlapped)
-    import jax
-    import jax.numpy as jnp
-
+    # link bandwidth (fresh sample; varies by hour on the shared tunnel)
+    x = frames[:8]
     t0 = time.perf_counter()
-    dev = jax.device_put(frames)
-    np.asarray(jax.jit(lambda x: jnp.sum(x, dtype=jnp.float32))(dev))
+    dev = jax.device_put(x)
+    np.asarray(jnp.ravel(dev)[:1])
     t_upload = time.perf_counter() - t0
+    link = x.nbytes / 1e6 / t_upload
+
+    # device-resident compute fps: fused 4-detector programs only
+    slab_fn = pipe._slab_program("rgb", None)
+    slab_dev = jax.device_put(frames[: chunk + 2])
+    idx = jnp.asarray(np.arange(1, chunk + 1, dtype=np.int32))
+    np.asarray(jax.tree.leaves(slab_fn(slab_dev, idx, idx))[0])  # warm
+    n_slabs = (T + chunk - 1) // chunk
     t0 = time.perf_counter()
-    pipe.predict(frames, fps=50)
-    t_predict = time.perf_counter() - t0
+    outs = [slab_fn(slab_dev, idx, idx) for _ in range(n_slabs)]
+    np.asarray(jax.tree.leaves(outs[-1])[0])
+    compute_fps = n_slabs * chunk / (time.perf_counter() - t0)
+
     t0 = time.perf_counter()
     pipe.calibrate_camera(table)
     t_calib = time.perf_counter() - t0
@@ -95,21 +116,25 @@ def pipeline_fps(iters=3, T=33):
 
     frames_i420 = rgb_to_i420(frames)
     pipe.predict(frames_i420, fps=50, pixel_format="i420")  # warmup
-    t0 = time.perf_counter()
+    ts = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         pipe.predict(frames_i420, fps=50, pixel_format="i420")
         pipe.calibrate_camera(table)
-    fps_i420 = T * iters / (time.perf_counter() - t0)
+        ts.append(time.perf_counter() - t0)
+    fps_i420 = T / float(np.median(ts))
 
     breakdown = {
+        "rgb_frames_per_sec": round(fps, 2),
         "i420_frames_per_sec": round(fps_i420, 2),
-        "upload_s_per_rally": round(t_upload, 2),
-        "upload_MBps": round(frames.nbytes / 1e6 / t_upload, 1),
-        "predict_s_per_rally": round(t_predict, 2),
+        "compute_frames_per_sec": round(compute_fps, 2),
+        "link_MBps": round(link, 1),
         "calibrate_s": round(t_calib, 2),
         "frames_per_rally": T,
     }
-    return fps, breakdown
+    # headline = video-native ingest (decoders emit YUV; i420 halves the
+    # host->device bytes of the tunnel-limited link)
+    return fps_i420, breakdown
 
 
 def datagen_tps():
@@ -195,7 +220,7 @@ def main():
             {
                 "metric": "full_pipeline_frames_per_sec",
                 "value": round(fps, 2),
-                "unit": "video frames/sec/chip (1920x1080 uint8 host frames; b2+wasb ball, b2+hrnet table, uplifting-large, RANSAC calib; bf16)",
+                "unit": "video frames/sec/chip (1920x1080 i420 host frames, video-native ingest; b2+wasb ball, b2+hrnet table, uplifting-large, RANSAC calib; bf16)",
                 "vs_baseline": round(ratio, 1) if ratio else None,
                 "breakdown": breakdown,
             }

@@ -1,0 +1,61 @@
+"""Fused LN+MixFFN Pallas half-block vs the unfused module (interpret
+mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from upliftingtabletennis_tpu.ops.fused_ffn import fused_ln_ffn
+
+
+def unfused(x, H, W, gamma, beta, w1, b1, dw, bdw, w2, b2, eps=1e-6):
+    B, N, C = x.shape
+    mean = x.mean(-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(-1, keepdims=True)
+    y = (x - mean) / jnp.sqrt(var + eps) * gamma + beta
+    h = y @ w1 + b1
+    HID = h.shape[-1]
+    h4 = h.reshape(B, H, W, HID)
+    h4 = jax.lax.conv_general_dilated(
+        h4, dw[:, :, None, :], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=HID,
+    ) + bdw
+    z = jax.nn.gelu(h4.reshape(B, N, HID), approximate=False)
+    return x + z @ w2 + b2
+
+
+def _params(rng, C, HID):
+    return dict(
+        gamma=jnp.asarray(rng.normal(1, 0.1, (C,)), jnp.float32),
+        beta=jnp.asarray(rng.normal(0, 0.1, (C,)), jnp.float32),
+        w1=jnp.asarray(rng.normal(0, 0.1, (C, HID)), jnp.float32),
+        b1=jnp.asarray(rng.normal(0, 0.1, (HID,)), jnp.float32),
+        dw=jnp.asarray(rng.normal(0, 0.2, (3, 3, HID)), jnp.float32),
+        bdw=jnp.asarray(rng.normal(0, 0.1, (HID,)), jnp.float32),
+        w2=jnp.asarray(rng.normal(0, 0.1, (HID, C)), jnp.float32),
+        b2=jnp.asarray(rng.normal(0, 0.1, (C,)), jnp.float32),
+    )
+
+
+def test_fused_ffn_matches_unfused():
+    rng = np.random.default_rng(0)
+    for B, H, W, C, HID in [(2, 16, 12, 32, 128), (1, 12, 7, 16, 64)]:
+        x = jnp.asarray(rng.normal(size=(B, H * W, C)), jnp.float32)
+        p = _params(rng, C, HID)
+        ref = unfused(x, H, W, **p)
+        got = fused_ln_ffn(x, H, W, p["gamma"], p["beta"], p["w1"], p["b1"],
+                           p["dw"], p["bdw"], p["w2"], p["b2"], interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_fused_ffn_boundary_rows_zero_padded():
+    """The dw conv zero-pads the hidden tensor at image boundaries; a
+    constant input must NOT behave periodically."""
+    rng = np.random.default_rng(1)
+    B, H, W, C, HID = 1, 8, 6, 8, 32
+    x = jnp.ones((B, H * W, C), jnp.float32)
+    p = _params(rng, C, HID)
+    ref = unfused(x, H, W, **p)
+    got = fused_ln_ffn(x, H, W, p["gamma"], p["beta"], p["w1"], p["b1"],
+                       p["dw"], p["bdw"], p["w2"], p["b2"], interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4)

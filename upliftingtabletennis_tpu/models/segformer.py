@@ -154,6 +154,26 @@ class MiTBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         x = x + EfficientAttention(self.dim, self.num_heads, self.sr_ratio,
                                    self.tome_ratio, name="attn")(y, H, W)
+        if jax.default_backend() == "tpu" and H % 4 == 0:
+            # fused LN+FFN+residual Pallas half-block: the hidden (N, 4C)
+            # tensor never touches HBM (ops/fused_ffn.py). Params are
+            # created by stub sub-module calls (dead code, DCE'd) so the
+            # tree matches the unfused path exactly.
+            nn.LayerNorm(epsilon=1e-6, name="norm2")(x[:, :1])
+            MixFFN(self.dim, self.mlp_ratio, name="ffn")(x[:, :1], 1, 1)
+            p2 = self.get_variable("params", "norm2")
+            pf = self.get_variable("params", "ffn")
+            from upliftingtabletennis_tpu.ops.fused_ffn import fused_ln_ffn
+
+            dt = x.dtype
+            return fused_ln_ffn(
+                x, H, W,
+                p2["scale"].astype(dt), p2["bias"].astype(dt),
+                pf["fc1"]["kernel"].astype(dt), pf["fc1"]["bias"].astype(dt),
+                pf["dwconv"]["kernel"][:, :, 0].astype(dt),
+                pf["dwconv"]["bias"].astype(dt),
+                pf["fc2"]["kernel"].astype(dt), pf["fc2"]["bias"].astype(dt),
+            )
         y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         x = x + MixFFN(self.dim, self.mlp_ratio, name="ffn")(y, H, W)
         return x

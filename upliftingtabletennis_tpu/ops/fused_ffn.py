@@ -1,0 +1,160 @@
+"""Fused LayerNorm + MixFFN + residual Pallas kernel for SegFormer blocks.
+
+The unfused FFN half-block (MiTBlock norm2 + MixFFN, models/segformer.py)
+lowers to LN -> dense -> reshape -> depthwise conv -> gelu -> dense ->
+add, each materializing an (N, 4C)-sized tensor in HBM — ~5 full passes
+over the hidden activation (367 MB at stage-1 detector size), measured
+~10 ms/block on a v5e chip against a ~2 ms traffic bound.
+
+This kernel computes the ENTIRE half-block out = x + fc2(gelu(dw3x3(
+fc1(LN(x))))) per (batch, row-tile) grid cell: the hidden tensor lives
+only in VMEM, HBM traffic drops to one read + one write of x. The 3x3
+depthwise conv needs one halo row above/below, provided by shifted block
+views of x (recomputing fc1 on 2 extra rows per tile — negligible);
+image-boundary halos use the hidden tensor's zero padding exactly like
+the unfused conv.
+
+Numerics: LN and both matmuls accumulate in f32; gelu is the exact (erf)
+variant matching the reference torch GELU. Parity vs the unfused module
+is pinned by tests/test_fused_ffn.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_ln_ffn"]
+
+
+def _erf(z):
+    """Abramowitz & Stegun 7.1.26 polynomial erf (|err| < 1.5e-7) — the
+    Pallas TPU lowering has no erf/erfc primitive."""
+    s = jnp.sign(z)
+    z = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * z)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+           + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-z * z))
+
+
+def _gelu_exact(x):
+    """0.5 x (1 + erf(x / sqrt(2))) — matches jax.nn.gelu(approximate=False)
+    to ~1e-7, far below bf16 activation noise."""
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _kernel(xp_ref, xc_ref, xn_ref, g_ref, b_ref, w1_ref, b1_ref, dw_ref,
+            bdw_ref, w2_ref, b2_ref, o_ref, *, eps: float, th: int, H: int):
+    i = pl.program_id(1)
+    xc = xc_ref[0]  # (th, W, C)
+    top = xp_ref[0, -1:]  # last row of the previous tile
+    bot = xn_ref[0, :1]  # first row of the next tile
+    x = jnp.concatenate([top, xc, bot], axis=0)  # (th+2, W, C)
+    R, W, C = x.shape
+
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+
+    h = jax.lax.dot_general(
+        y.reshape(R * W, C).astype(xc.dtype),
+        w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0].astype(jnp.float32)
+    HID = h.shape[-1]
+
+    # zero the halo rows that fall outside the image: the depthwise conv
+    # zero-pads the HIDDEN tensor at image boundaries. Global row of local
+    # row r is i*th + r - 1; mask rows with g < 0 or g >= H.
+    g_row = jax.lax.broadcasted_iota(jnp.int32, (R * W, 1), 0) // W + i * th - 1
+    ok = jnp.logical_and(g_row >= 0, g_row < H)
+    h = jnp.where(ok, h, 0.0).reshape(R, W, HID).astype(xc.dtype)
+    hp = jnp.pad(h, ((0, 0), (1, 1), (0, 0)))  # W-direction zero pad
+
+    acc = jnp.zeros((th, W, HID), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            acc = acc + hp[dy : dy + th, dx : dx + W] * dw_ref[3 * dy + dx]
+    z = _gelu_exact(acc + bdw_ref[0].astype(jnp.float32))
+
+    out = jax.lax.dot_general(
+        z.reshape(th * W, HID).astype(xc.dtype),
+        w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0].astype(jnp.float32)
+    o_ref[0] = (xc.astype(jnp.float32) + out.reshape(th, W, C)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "eps", "interpret", "tile_h"))
+def fused_ln_ffn(x, H: int, W: int, gamma, beta, w1, b1, dw, bdw, w2, b2,
+                 eps: float = 1e-6, interpret: bool = False, tile_h: int = None):
+    """out = x + fc2(gelu(dw3x3(fc1(LN(x))))) for x (B, N, C), N == H*W.
+
+    gamma/beta (C,) LN params; w1 (C, HID), b1 (HID,); dw (3, 3, HID) +
+    bdw (HID,) depthwise conv; w2 (HID, C), b2 (C,).
+    """
+    B, N, C = x.shape
+    assert N == H * W, (N, H, W)
+    if tile_h is not None:
+        assert H % tile_h == 0
+        th = tile_h
+    else:
+        # largest row tile <= 16 keeping the VMEM hidden tile ~<= 8 MB;
+        # bigger tiles amortize per-program overhead (measured optimum;
+        # tiles >= 28 rows crash the Mosaic compiler at stage-1 width)
+        HID = w1.shape[1]
+        th = None
+        for cand in (16, 8, 4):
+            if H % cand == 0 and (cand + 2) * (W + 2) * HID * 2 <= 8 * 2**20:
+                th = cand
+                break
+    assert th is not None, f"H={H} not divisible by 4"
+    x4 = x.reshape(B, H, W, C)
+    grid = (B, H // th)
+    n_tiles = H // th
+
+    def cur(b, i):
+        return (b, i, 0, 0)
+
+    def prev(b, i):
+        return (b, jnp.maximum(i - 1, 0), 0, 0)
+
+    def nxt(b, i):
+        return (b, jnp.minimum(i + 1, n_tiles - 1), 0, 0)
+
+    blk = pl.BlockSpec((1, th, W, C), cur, memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda b, i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    HID = w1.shape[1]
+    # 2D operand shapes: Mosaic's VMEM layouts want >= 2 dims
+    gamma2, beta2 = gamma.reshape(1, C), beta.reshape(1, C)
+    b1_2, bdw2, b2_2 = b1.reshape(1, HID), bdw.reshape(1, HID), b2.reshape(1, C)
+    dw2 = dw.reshape(9, HID)
+    out = pl.pallas_call(
+        functools.partial(_kernel, eps=float(eps), th=th, H=H),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, th, W, C), prev, memory_space=pltpu.VMEM),
+            blk,
+            pl.BlockSpec((1, th, W, C), nxt, memory_space=pltpu.VMEM),
+            full(gamma2), full(beta2), full(w1), full(b1_2), full(dw2),
+            full(bdw2), full(w2), full(b2_2),
+        ],
+        out_specs=blk,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * N * C * HID + 18 * B * N * HID,
+            bytes_accessed=2 * B * N * C * x.dtype.itemsize,
+            transcendentals=B * N * HID,
+        ),
+        interpret=interpret,
+    )(x4, x4, x4, gamma2, beta2, w1, b1_2, dw2, bdw2, w2, b2_2)
+    return out.reshape(B, N, C)
