@@ -59,3 +59,18 @@ def test_fused_ffn_boundary_rows_zero_padded():
     got = fused_ln_ffn(x, H, W, p["gamma"], p["beta"], p["w1"], p["b1"],
                        p["dw"], p["bdw"], p["w2"], p["b2"], interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
+def test_dwconv_custom_vjp_matches_autodiff():
+    """depthwise_conv3x3's custom VJP (needed because the Pallas forward
+    has no autodiff rule) must equal XLA autodiff of the reference conv."""
+    from upliftingtabletennis_tpu.ops.dwconv import _dw_xla, depthwise_conv3x3
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 10, 16)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 1, 16)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    gc = jax.grad(lambda *a: jnp.sum(jnp.sin(depthwise_conv3x3(*a))), (0, 1, 2))(x, w, b)
+    gr = jax.grad(lambda *a: jnp.sum(jnp.sin(_dw_xla(*a))), (0, 1, 2))(x, w, b)
+    for a, r in zip(gc, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=1e-4)

@@ -148,13 +148,16 @@ class MiTBlock(nn.Module):
     sr_ratio: int
     mlp_ratio: int
     tome_ratio: float = 0.0
+    train: bool = False
 
     @nn.compact
     def __call__(self, x, H, W):
         y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         x = x + EfficientAttention(self.dim, self.num_heads, self.sr_ratio,
                                    self.tome_ratio, name="attn")(y, H, W)
-        if jax.default_backend() == "tpu" and H % 4 == 0:
+        # inference only: pallas_call has no VJP — training (which needs
+        # grads through the FFN) takes the unfused differentiable path
+        if jax.default_backend() == "tpu" and H % 4 == 0 and not self.train:
             # fused LN+FFN+residual Pallas half-block: the hidden (N, 4C)
             # tensor never touches HBM (ops/fused_ffn.py). Params are
             # created by stub sub-module calls (dead code, DCE'd) so the
@@ -186,6 +189,7 @@ class MiTBackbone(nn.Module):
     in_chans: int = 3
     tome_ratio: float = 0.0
     num_stages: int = 4  # truncation hook for profiling/feature extraction
+    train: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -210,7 +214,7 @@ class MiTBackbone(nn.Module):
             for b in range(cfg["depths"][s]):
                 x = MiTBlock(
                     cfg["dims"][s], HEADS[s], SR_RATIOS[s], MLP_RATIOS[s],
-                    self.tome_ratio, name=f"stage{s}_block{b}",
+                    self.tome_ratio, self.train, name=f"stage{s}_block{b}",
                 )(x, H, W)
             x = nn.LayerNorm(epsilon=1e-6, name=f"stage_norm_{s}")(x)
             x = x.reshape(B, H, W, C)
@@ -295,7 +299,7 @@ class SegFormerNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         feats = MiTBackbone(self.model_size, 3 * self.in_frames, self.tome_ratio,
-                            name="backbone")(x)
+                            train=self.train, name="backbone")(x)
         heat = SegFormerHead(
             self.out_channels, CFG[self.model_size]["decoder_dim"], self.train, name="decode_head"
         )(feats)

@@ -133,11 +133,43 @@ def _dw_xla(x, w, bias):
     return y + bias
 
 
+@jax.custom_vjp
 def depthwise_conv3x3(x, w, bias):
     """SAME depthwise 3x3 conv. x (B,H,W,C), w (3,3,1,C), bias (C,).
 
-    Pallas kernel on TPU; XLA grouped conv elsewhere (CPU tests).
+    Pallas kernel on TPU; XLA grouped conv elsewhere (CPU tests). Custom
+    VJP (pallas_call defines no autodiff rule): for stride-1 SAME 3x3,
+    dL/dx is the depthwise conv of the cotangent with the spatially
+    flipped kernel, dL/dw is a 9-tap shifted correlation, dL/db a sum —
+    all cheap XLA ops, so TPU training through the unfused MixFFN works.
     """
     if jax.default_backend() == "tpu" and x.shape[-1] % min(x.shape[-1], 128) == 0:
         return _dw_pallas(x, w, bias)
     return _dw_xla(x, w, bias)
+
+
+def _dw_fwd(x, w, bias):
+    return depthwise_conv3x3(x, w, bias), (x, w)
+
+
+def _dw_bwd(res, g):
+    x, w = res
+    dx = _dw_xla(g, w[::-1, ::-1], jnp.zeros((x.shape[-1],), x.dtype))
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    H, W = x.shape[1:3]
+    dw = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.sum(g * xp[:, dy : dy + H, dx_ : dx_ + W], axis=(0, 1, 2))
+                    for dx_ in range(3)
+                ]
+            )
+            for dy in range(3)
+        ]
+    )[:, :, None, :].astype(w.dtype)
+    db = jnp.sum(g, axis=(0, 1, 2)).astype(x.dtype)
+    return dx.astype(x.dtype), dw, db
+
+
+depthwise_conv3x3.defvjp(_dw_fwd, _dw_bwd)
