@@ -48,6 +48,14 @@ def _choose_g(B, H, W, Ci, Co, k, stride):
         # exceeds the lane-padding saving (measured: 64->64 full-res is
         # fastest at G=1). Only narrow convs benefit from packing.
         return 1
+    if stride == 2 and Co > Ci:
+        # channel-expanding downsamples are compute-heavy relative to their
+        # (4x smaller) output traffic: fill the input side only
+        g = min(8, 128 // max(1, Ci), 128 // Co * 2)
+        g = max(1, g)
+        while g > 1 and (g > B or B % g):
+            g //= 2
+        return g
     g = min(8, 128 // max(1, min(Ci, Co)), 256 // max(Ci, Co))
     g = max(1, g)
     while g > 1 and (g > B or B % g):
