@@ -152,12 +152,61 @@ class MiTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, H, W):
-        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        x = x + EfficientAttention(self.dim, self.num_heads, self.sr_ratio,
-                                   self.tome_ratio, name="attn")(y, H, W)
         # inference only: pallas_call has no VJP — training (which needs
-        # grads through the FFN) takes the unfused differentiable path
-        if jax.default_backend() == "tpu" and H % 4 == 0 and not self.train:
+        # grads) takes the unfused differentiable paths below
+        use_fused = (
+            jax.default_backend() == "tpu" and H % 4 == 0 and not self.train
+        )
+        if use_fused and self.tome_ratio == 0.0:
+            # fused LN1+q-proj+attention+out-proj+residual kernel
+            # (ops/fused_attention.py); K/V (spatially reduced, tiny) are
+            # computed here with XLA from the same params
+            nn.LayerNorm(epsilon=1e-6, name="norm1")(x[:, :1])
+            EfficientAttention(self.dim, self.num_heads, self.sr_ratio,
+                               self.tome_ratio, name="attn")(x[:, :1], 1, 1)
+            p1 = self.get_variable("params", "norm1")
+            pa = self.get_variable("params", "attn")
+            from upliftingtabletennis_tpu.ops.fused_attention import (
+                fused_attention_block,
+            )
+
+            dt = x.dtype
+            B, N, C = x.shape
+            h, hd = self.num_heads, self.dim // self.num_heads
+            xf = x.astype(jnp.float32)
+            mean = xf.mean(-1, keepdims=True)
+            var = jnp.square(xf - mean).mean(-1, keepdims=True)
+            y = (xf - mean) * jax.lax.rsqrt(var + 1e-6)
+            y = (y * p1["scale"].astype(jnp.float32)
+                 + p1["bias"].astype(jnp.float32)).astype(dt)
+            if self.sr_ratio > 1:
+                kv_in = jax.lax.conv_general_dilated(
+                    y.reshape(B, H, W, C), pa["sr"]["kernel"].astype(dt),
+                    (self.sr_ratio, self.sr_ratio), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) + pa["sr"]["bias"].astype(dt)
+                kv_in = kv_in.reshape(B, -1, C).astype(jnp.float32)
+                m2 = kv_in.mean(-1, keepdims=True)
+                v2 = jnp.square(kv_in - m2).mean(-1, keepdims=True)
+                kv_in = (kv_in - m2) * jax.lax.rsqrt(v2 + 1e-6)
+                kv_in = (kv_in * pa["sr_norm"]["scale"].astype(jnp.float32)
+                         + pa["sr_norm"]["bias"].astype(jnp.float32)).astype(dt)
+            else:
+                kv_in = y
+            kv = (kv_in @ pa["kv"]["kernel"].astype(dt)
+                  + pa["kv"]["bias"].astype(dt)).reshape(B, -1, 2, h, hd)
+            x = fused_attention_block(
+                x, H, W, h,
+                p1["scale"].astype(dt), p1["bias"].astype(dt),
+                pa["q"]["kernel"].astype(dt), pa["q"]["bias"].astype(dt),
+                kv[:, :, 0], kv[:, :, 1],
+                pa["proj"]["kernel"].astype(dt), pa["proj"]["bias"].astype(dt),
+            )
+        else:
+            y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+            x = x + EfficientAttention(self.dim, self.num_heads, self.sr_ratio,
+                                       self.tome_ratio, name="attn")(y, H, W)
+        if use_fused:
             # fused LN+FFN+residual Pallas half-block: the hidden (N, 4C)
             # tensor never touches HBM (ops/fused_ffn.py). Params are
             # created by stub sub-module calls (dead code, DCE'd) so the
