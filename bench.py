@@ -98,12 +98,14 @@ def pipeline_fps(iters=3, T=33):
 
     # device-resident compute fps: fused 4-detector programs only
     slab_fn = pipe._slab_program("rgb", None)
-    slab_dev = jax.device_put(frames[: chunk + 2])
-    idx = jnp.asarray(np.arange(1, chunk + 1, dtype=np.int32))
-    np.asarray(jax.tree.leaves(slab_fn(slab_dev, idx, idx))[0])  # warm
+    piece = jax.device_put(frames[:chunk])
+    idx = np.arange(chunk, 2 * chunk, dtype=np.int32)
+    idx3 = jnp.stack([jnp.asarray(np.maximum(idx - 1, chunk)), jnp.asarray(idx),
+                      jnp.asarray(np.minimum(idx + 1, 2 * chunk - 1))])
+    np.asarray(jax.tree.leaves(slab_fn(piece, piece, piece, idx3, idx3[1]))[0])  # warm
     n_slabs = (T + chunk - 1) // chunk
     t0 = time.perf_counter()
-    outs = [slab_fn(slab_dev, idx, idx) for _ in range(n_slabs)]
+    outs = [slab_fn(piece, piece, piece, idx3, idx3[1]) for _ in range(n_slabs)]
     np.asarray(jax.tree.leaves(outs[-1])[0])
     compute_fps = n_slabs * chunk / (time.perf_counter() - t0)
 
@@ -211,17 +213,78 @@ def uplifting_ratio_vs_torch_cpu():
         return None
 
 
+def torch_cpu_wasb_fps():
+    """Honest same-host detector comparison: the reference's own WASB/HRNet
+    (vendored, torch CPU) at its eval resolution, single frame-triplet.
+
+    The reference's CUDA backbones cannot run here (no GPU, no egress for
+    hub downloads), so this is the closest runnable point of its detection
+    stack on this machine (ref: balldetection/models/wasb.py:510-608,
+    compare_speed.py:10-32)."""
+    try:
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        import torch
+        from balldetection.models.wasb import HRNet
+
+        # WASBNet's exact w18-small config (ref: wasb.py:514-573), built
+        # directly on HRNet to skip the unconditional init-weight load
+        # (the weights zip is not downloadable here)
+        stage = lambda br, ch: {  # noqa: E731
+            "NUM_MODULES": 1, "NUM_BRANCHES": br, "BLOCK": "BASIC",
+            "NUM_BLOCKS": [2] * br, "NUM_CHANNELS": ch, "FUSE_METHOD": "SUM",
+        }
+        cfg = {
+            "name": "hrnet", "frames_in": 3, "frames_out": 3,
+            "inp_height": 704, "inp_width": 1280,
+            "out_height": 704, "out_width": 1280,
+            "rgb_diff": False, "out_scales": [0],
+            "MODEL": {
+                "EXTRA": {
+                    "FINAL_CONV_KERNEL": 1, "PRETRAINED_LAYERS": ["*"],
+                    "STEM": {"INPLANES": 64, "STRIDES": [1, 1]},
+                    "STAGE1": {
+                        "NUM_MODULES": 1, "NUM_BRANCHES": 1, "BLOCK": "BOTTLENECK",
+                        "NUM_BLOCKS": [1], "NUM_CHANNELS": [32], "FUSE_METHOD": "SUM",
+                    },
+                    "STAGE2": stage(2, [16, 32]),
+                    "STAGE3": stage(3, [16, 32, 64]),
+                    "STAGE4": stage(4, [16, 32, 64, 128]),
+                    "DECONV": {"NUM_DECONVS": 0, "KERNEL_SIZE": [], "NUM_BASIC_BLOCKS": 2},
+                },
+                "INIT_WEIGHTS": True,
+            },
+        }
+        tm = HRNet(cfg=cfg)
+        tm.eval()
+        x = torch.rand(1, 9, 704, 1280)
+        with torch.no_grad():
+            tm(x)  # warm
+            t0 = time.perf_counter()
+            for _ in range(2):
+                tm(x)
+            return round(2 / (time.perf_counter() - t0), 3)
+    except Exception:
+        return None
+
+
 def main():
     fps, breakdown = pipeline_fps()
     ratio = uplifting_ratio_vs_torch_cpu()
     breakdown["datagen_trajectories_per_sec"] = datagen_tps()
+    breakdown["torch_cpu_wasb_frames_per_sec"] = torch_cpu_wasb_fps()
     print(
         json.dumps(
             {
                 "metric": "full_pipeline_frames_per_sec",
                 "value": round(fps, 2),
                 "unit": "video frames/sec/chip (1920x1080 i420 host frames, video-native ingest; b2+wasb ball, b2+hrnet table, uplifting-large, RANSAC calib; bf16)",
+                # the reference cannot run its GPU pipeline on this host;
+                # vs_baseline is an explicitly-labeled PROXY ratio, not the
+                # 10x-vs-GPU north star (see module docstring)
                 "vs_baseline": round(ratio, 1) if ratio else None,
+                "baseline_kind": "torch_cpu_uplifting_proxy",
                 "breakdown": breakdown,
             }
         )

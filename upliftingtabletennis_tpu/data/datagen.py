@@ -113,32 +113,42 @@ N_FRAMES = int(P.MAX_SIMULATION_TIME * P.FPS)  # 500
 
 def sample_initial_conditions(key, n, mode: str, direction: str):
     """Sample n initial (r, v, w) states (ref: _init_simulation, :54-109)."""
-    sign_x = 1.0 if direction == "left_to_right" else -1.0
-    k = jax.random.split(key, 10)
-    first = "first" in mode
+    return _sample_initial_conditions_core(
+        key, n, jnp.asarray("first" in mode),
+        jnp.asarray(1.0 if direction == "left_to_right" else -1.0),
+    )
 
-    if first:
-        x = jax.random.uniform(k[0], (n,), minval=1.0, maxval=2.5) * sign_x
-        y = jax.random.uniform(k[1], (n,), minval=-1.5, maxval=1.5)
-        z = jax.random.uniform(k[2], (n,), minval=0.8, maxval=1.6)
-    else:
-        x = jax.random.uniform(k[0], (n,), minval=0.1, maxval=4.0) * sign_x
-        y = jax.random.uniform(k[1], (n,), minval=-2.0, maxval=2.0)
-        over_table = (jnp.abs(x) < TABLE_LENGTH / 2) & (jnp.abs(y) < TABLE_WIDTH / 2)
-        z = jnp.where(
-            over_table,
-            jax.random.uniform(k[2], (n,), minval=0.8, maxval=1.8),
-            jax.random.uniform(k[3], (n,), minval=0.5, maxval=1.8),
-        )
+
+def _sample_initial_conditions_core(key, n, is_first, sign_x):
+    """Traced-mode core: `is_first` (bool) and `sign_x` (+-1.0) are traced
+    values, so every (mode, direction) shares ONE compiled program — the
+    remote-compiled simulate scan dominates compile time and would
+    otherwise build 12 times. Both branch variants draw from the SAME keys
+    and are selected, which reproduces the static-branch RNG stream
+    exactly (uniform bits depend only on key and shape)."""
+    k = jax.random.split(key, 10)
+
+    # position: 'first'-serve vs rally ranges (ref: :59-71)
+    x_first = jax.random.uniform(k[0], (n,), minval=1.0, maxval=2.5) * sign_x
+    y_first = jax.random.uniform(k[1], (n,), minval=-1.5, maxval=1.5)
+    z_first = jax.random.uniform(k[2], (n,), minval=0.8, maxval=1.6)
+    x_other = jax.random.uniform(k[0], (n,), minval=0.1, maxval=4.0) * sign_x
+    y_other = jax.random.uniform(k[1], (n,), minval=-2.0, maxval=2.0)
+    over_table = (jnp.abs(x_other) < TABLE_LENGTH / 2) & (jnp.abs(y_other) < TABLE_WIDTH / 2)
+    z_other = jnp.where(
+        over_table,
+        jax.random.uniform(k[2], (n,), minval=0.8, maxval=1.8),
+        jax.random.uniform(k[3], (n,), minval=0.5, maxval=1.8),
+    )
+    x = jnp.where(is_first, x_first, x_other)
+    y = jnp.where(is_first, y_first, y_other)
+    z = jnp.where(is_first, z_first, z_other)
     r = jnp.stack([x, y, z], -1)
 
     # aim toward the opponent-side target point (ref: :73-90)
-    if first:
-        c_y = jnp.where(y > 0, TABLE_WIDTH / 2, -TABLE_WIDTH / 2)
-        c_x = jnp.full((n,), TABLE_LENGTH / 2 * sign_x)
-    else:
-        c_y = jnp.zeros((n,))
-        c_x = jnp.full((n,), -TABLE_LENGTH / 2 * sign_x)
+    c_y = jnp.where(is_first, jnp.where(y > 0, TABLE_WIDTH / 2, -TABLE_WIDTH / 2), 0.0)
+    c_x = jnp.where(is_first, TABLE_LENGTH / 2 * sign_x, -TABLE_LENGTH / 2 * sign_x)
+    c_x = jnp.broadcast_to(c_x, (n,))
     c_z = jnp.full((n,), TABLE_HEIGHT)
 
     base_phi = 180.0 + jnp.rad2deg(jnp.arctan2(y - c_y, x - c_x))
@@ -219,19 +229,21 @@ def _interval_hits(mask, z, valid):
     return times, closed, count
 
 
-def count_hits(positions, valid, direction: str):
+def count_hits(positions, valid, direction):
     """Vectorized _count_hits (ref: helper.py:282-321).
 
     positions: (B, T, 3); valid: (B, T) frames before the cut.
+    direction: the string, or a traced sign (+1.0 = left_to_right).
     Returns dict of (times, closed, count) per category.
     """
     x, y, z = positions[..., 0], positions[..., 1], positions[..., 2]
-    if direction == "left_to_right":
-        opp = (-HIT_X_MARGIN > x) & (x > -TABLE_LENGTH / 2)
-        own = (TABLE_LENGTH / 2 > x) & (x > HIT_X_MARGIN)
+    if isinstance(direction, str):
+        s = jnp.asarray(1.0 if direction == "left_to_right" else -1.0)
     else:
-        opp = (TABLE_LENGTH / 2 > x) & (x > HIT_X_MARGIN)
-        own = (-HIT_X_MARGIN > x) & (x > -TABLE_LENGTH / 2)
+        s = direction
+    xs = x * s  # opponent side is always xs < 0 in the signed frame
+    opp = (-HIT_X_MARGIN > xs) & (xs > -TABLE_LENGTH / 2)
+    own = (TABLE_LENGTH / 2 > xs) & (xs > HIT_X_MARGIN)
     low = z < HIT_Z_TABLE
     on_y = jnp.abs(y) < TABLE_WIDTH / 2
     res = {}
@@ -251,7 +263,11 @@ def _first_false(mask):
     return jnp.min(jnp.where(~mask, idx, T), axis=1)
 
 
-@partial(jax.jit, static_argnames=("n", "mode", "direction"))
+_MODE_ID = {m: i for i, m in enumerate(MODES)}
+_OOB_TABLE = np.array([OOB[m] for m in MODES], np.float32)          # (6, 3)
+_SIG_TABLE = np.array([BOUNCE_SIGNATURE[m] for m in MODES], np.int32)  # (6, 3)
+
+
 def generate_candidates(key, n: int, mode: str, direction: str):
     """Simulate n candidates and evaluate all validity rules.
 
@@ -262,8 +278,22 @@ def generate_candidates(key, n: int, mode: str, direction: str):
       bounces: (n, MAX_HITS) sorted table-hit times (0-padded)
       n_bounces: (n,)
       accept: (n,) final acceptance mask
+
+    mode/direction become TRACED values inside (`_generate_candidates_core`)
+    so all 12 (mode, direction) combinations share one compiled program —
+    the 500-step simulate scan dominates compile time, and this host's
+    remote compile helper makes each extra program expensive.
     """
-    state0 = sample_initial_conditions(key, n, mode, direction)
+    return _generate_candidates_core(
+        key, n, jnp.asarray(_MODE_ID[mode], jnp.int32),
+        jnp.asarray(1.0 if direction == "left_to_right" else -1.0),
+    )
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _generate_candidates_core(key, n: int, mode_id, sign_x):
+    is_first = mode_id >= 3  # first_good / first_short / first_long
+    state0 = _sample_initial_conditions_core(key, n, is_first, sign_x)
     traj = P.simulate(state0)  # time-major (T, n, 3) fields
     r = jnp.moveaxis(traj.r, 0, 1)  # (n, T, 3)
     v = jnp.moveaxis(traj.v, 0, 1)
@@ -272,19 +302,25 @@ def generate_candidates(key, n: int, mode: str, direction: str):
     times = jnp.arange(T, dtype=jnp.float32) / P.FPS
 
     x, y, z = r[..., 0], r[..., 1], r[..., 2]
-    correct_side = x < 0 if direction == "left_to_right" else x > 0
+    correct_side = (x * sign_x) < 0
 
-    # --- per-frame OOB rules (ref: :124-139) ---
-    ox, oy, oz = OOB[mode]
+    # --- per-frame OOB rules (ref: :124-139), selected by mode id ---
+    ox, oy, oz = (jnp.asarray(_OOB_TABLE)[mode_id][i] for i in range(3))
     box = (jnp.abs(x) > ox) | (jnp.abs(y) > oy)
-    if mode == "final_lose":
-        oob = box
-    elif mode in ("final_win", "intermediate"):
-        oob = correct_side & (box | (z < oz))
-    elif mode == "first_short":
-        oob = box | (z < oz)
-    else:  # first_good, first_long
-        oob = correct_side & box
+    zlt = z < oz
+    oob = jnp.where(
+        mode_id == _MODE_ID["final_lose"],
+        box,
+        jnp.where(
+            mode_id <= _MODE_ID["final_win"],  # intermediate, final_win
+            correct_side & (box | zlt),
+            jnp.where(
+                mode_id == _MODE_ID["first_short"],
+                box | zlt,
+                correct_side & box,  # first_good, first_long
+            ),
+        ),
+    )
 
     # --- in-frame check against the fixed camera (ref: :140-143) ---
     Mext, Mint = sim_camera()
@@ -299,11 +335,11 @@ def generate_candidates(key, n: int, mode: str, direction: str):
 
     # --- max height over saved frames (ref: :152-154) ---
     zmax = jnp.max(jnp.where(saved, z, -jnp.inf), axis=1)
-    max_h = MAX_HEIGHT["first"] if "first" in mode else MAX_HEIGHT["other"]
+    max_h = jnp.where(is_first, MAX_HEIGHT["first"], MAX_HEIGHT["other"])
     height_ok = zmax <= max_h
 
     # --- hits on saved frames (ref: :152) ---
-    hits = count_hits(r, saved, direction)
+    hits = count_hits(r, saved, sign_x)
     (t_opp, c_opp, n_opp) = hits["opponent"]
     (t_own, c_own, n_own) = hits["own"]
     (t_gnd, c_gnd, n_gnd) = hits["ground"]
@@ -315,48 +351,55 @@ def generate_candidates(key, n: int, mode: str, direction: str):
 
     ge = lambda t, c, i: c[:, i] & (t[:, i] >= MIN_CUT_TIME)  # noqa: E731
 
-    # --- mode-specific cutting (ref: :157-196) ---
-    if mode == "final_lose":
-        use = ge(t_gnd, c_gnd, 0)
-        n_keep = cut_at(t_gnd[:, 0], use)
-        drop_ground = use
-        n_opp_f, n_own_f, n_gnd_f = n_opp, n_own, jnp.where(drop_ground, 0, n_gnd)
-    elif mode == "final_win":
-        use1 = ge(t_opp, c_opp, 2)
-        use2 = ~use1 & ge(t_gnd, c_gnd, 0)
-        n_keep = cut_at(t_opp[:, 2], use1)
-        n_keep = jnp.where(use2, cut_at(t_gnd[:, 0], use2), n_keep)
-        cutted = use1 | use2
-        n_opp_f = jnp.where(use1, jnp.minimum(n_opp, 2), n_opp)
-        n_own_f = n_own
-        n_gnd_f = jnp.where(cutted, 0, n_gnd)
-    elif mode == "intermediate":
-        use = ge(t_gnd, c_gnd, 0)
-        n_keep = cut_at(t_gnd[:, 0], use)
-        n_opp_f, n_own_f, n_gnd_f = n_opp, n_own, jnp.where(use, 0, n_gnd)
-    elif mode == "first_good":
-        use1 = ge(t_opp, c_opp, 1)
-        use2 = ~use1 & ge(t_gnd, c_gnd, 0)
-        n_keep = cut_at(t_opp[:, 1], use1)
-        n_keep = jnp.where(use2, cut_at(t_gnd[:, 0], use2), n_keep)
-        cutted = use1 | use2
-        n_opp_f = jnp.where(use1, jnp.minimum(n_opp, 1), n_opp)
-        n_own_f = n_own
-        n_gnd_f = jnp.where(cutted, 0, n_gnd)
-    elif mode == "first_short":
-        use1 = ge(t_own, c_own, 2)
-        use2 = ~use1 & ge(t_opp, c_opp, 0)
-        use3 = ~use1 & ~use2 & ge(t_gnd, c_gnd, 0)
-        n_keep = cut_at(t_own[:, 2], use1)
-        n_keep = jnp.where(use2, cut_at(t_opp[:, 0], use2), n_keep)
-        n_keep = jnp.where(use3, cut_at(t_gnd[:, 0], use3), n_keep)
-        n_own_f = jnp.where(use1, jnp.minimum(n_own, 2), n_own)
-        n_opp_f = jnp.where(use1 | use2, 0, n_opp)
-        n_gnd_f = jnp.where(use1 | use2 | use3, 0, n_gnd)
-    else:  # first_long
-        use = ge(t_gnd, c_gnd, 0)
-        n_keep = cut_at(t_gnd[:, 0], use)
-        n_opp_f, n_own_f, n_gnd_f = n_opp, n_own, jnp.where(use, 0, n_gnd)
+    # --- mode-specific cutting (ref: :157-196): four structural variants
+    # (intermediate / final_lose / first_long share the ground cut), all
+    # computed then selected by mode id ---
+    # A: ground cut (intermediate, final_lose, first_long)
+    useA = ge(t_gnd, c_gnd, 0)
+    keepA = cut_at(t_gnd[:, 0], useA)
+    cntA = (n_opp, n_own, jnp.where(useA, 0, n_gnd))
+    # B: final_win — cut at 3rd opponent hit, else ground
+    useB1 = ge(t_opp, c_opp, 2)
+    useB2 = ~useB1 & ge(t_gnd, c_gnd, 0)
+    keepB = jnp.where(useB2, cut_at(t_gnd[:, 0], useB2), cut_at(t_opp[:, 2], useB1))
+    cntB = (
+        jnp.where(useB1, jnp.minimum(n_opp, 2), n_opp),
+        n_own,
+        jnp.where(useB1 | useB2, 0, n_gnd),
+    )
+    # C: first_good — cut at 2nd opponent hit, else ground
+    useC1 = ge(t_opp, c_opp, 1)
+    useC2 = ~useC1 & ge(t_gnd, c_gnd, 0)
+    keepC = jnp.where(useC2, cut_at(t_gnd[:, 0], useC2), cut_at(t_opp[:, 1], useC1))
+    cntC = (
+        jnp.where(useC1, jnp.minimum(n_opp, 1), n_opp),
+        n_own,
+        jnp.where(useC1 | useC2, 0, n_gnd),
+    )
+    # D: first_short — cut at 3rd own hit, else 1st opponent, else ground
+    useD1 = ge(t_own, c_own, 2)
+    useD2 = ~useD1 & ge(t_opp, c_opp, 0)
+    useD3 = ~useD1 & ~useD2 & ge(t_gnd, c_gnd, 0)
+    keepD = cut_at(t_own[:, 2], useD1)
+    keepD = jnp.where(useD2, cut_at(t_opp[:, 0], useD2), keepD)
+    keepD = jnp.where(useD3, cut_at(t_gnd[:, 0], useD3), keepD)
+    cntD = (
+        jnp.where(useD1 | useD2, 0, n_opp),
+        jnp.where(useD1, jnp.minimum(n_own, 2), n_own),
+        jnp.where(useD1 | useD2 | useD3, 0, n_gnd),
+    )
+
+    is_B = mode_id == _MODE_ID["final_win"]
+    is_C = mode_id == _MODE_ID["first_good"]
+    is_D = mode_id == _MODE_ID["first_short"]
+
+    def sel(a, b, c, d):
+        return jnp.where(is_B, b, jnp.where(is_C, c, jnp.where(is_D, d, a)))
+
+    n_keep = sel(keepA, keepB, keepC, keepD)
+    n_opp_f = sel(cntA[0], cntB[0], cntC[0], cntD[0])
+    n_own_f = sel(cntA[1], cntB[1], cntC[1], cntD[1])
+    n_gnd_f = sel(cntA[2], cntB[2], cntC[2], cntD[2])
 
     frame_valid = idx < n_keep[:, None]
     len_ok = (n_saved >= MIN_TRAJ_LEN_FRAMES) & (n_keep >= MIN_TRAJ_LEN_FRAMES)
@@ -369,15 +412,13 @@ def generate_candidates(key, n: int, mode: str, direction: str):
     net_fail = any_near & (max_h_net < NET_TOTAL_HEIGHT) & (min_w_net < NET_TOTAL_WIDTH / 2)
 
     # --- final-side check (ref: :204-205) ---
-    if mode in ("final_lose", "first_long"):
-        last_idx = jnp.maximum(n_keep - 1, 0)
-        last_x = jnp.take_along_axis(x, last_idx[:, None], axis=1)[:, 0]
-        side_ok = last_x < 0 if direction == "left_to_right" else last_x > 0
-    else:
-        side_ok = jnp.ones((n,), bool)
+    last_idx = jnp.maximum(n_keep - 1, 0)
+    last_x = jnp.take_along_axis(x, last_idx[:, None], axis=1)[:, 0]
+    side_applies = (mode_id == _MODE_ID["final_lose"]) | (mode_id == _MODE_ID["first_long"])
+    side_ok = ~side_applies | ((last_x * sign_x) < 0)
 
     # --- bounce-count signature (ref: :206-211) ---
-    sig = BOUNCE_SIGNATURE[mode]
+    sig = jnp.asarray(_SIG_TABLE)[mode_id]
     sig_ok = (n_opp_f == sig[0]) & (n_own_f == sig[1]) & (n_gnd_f == sig[2])
 
     accept = len_ok & height_ok & ~net_fail & side_ok & sig_ok
@@ -407,14 +448,14 @@ def generate_candidates(key, n: int, mode: str, direction: str):
 _COMPACT_FIELDS = ("positions", "velocities", "rotations", "frame_valid", "bounces", "n_bounces")
 
 
-@partial(jax.jit, static_argnames=("n", "mode", "direction", "max_keep"))
-def _generate_compacted(key, n: int, mode: str, direction: str, max_keep: int):
+@partial(jax.jit, static_argnames=("n", "max_keep"))
+def _generate_compacted_core(key, n: int, mode_id, sign_x, max_keep: int):
     """Candidates + ON-DEVICE compaction of the accepted rows.
 
     Pulling full (n, 500, 3) candidate arrays to the host to select the few
     percent accepted costs ~10x the simulation itself on a slow link; the
     gather keeps the transfer to (max_keep, ...) only."""
-    cand = generate_candidates(key, n, mode, direction)
+    cand = _generate_candidates_core(key, n, mode_id, sign_x)
     idx = jnp.nonzero(cand["accept"], size=max_keep, fill_value=0)[0]
     n_acc = jnp.minimum(jnp.sum(cand["accept"]), max_keep)
     out = {k: cand[k][idx] for k in _COMPACT_FIELDS}
@@ -433,9 +474,11 @@ def generate_dataset(key, num_trajectories: int, mode: str, direction: str, batc
     times = None
     total = 0
     max_keep = max(batch // 8, 64)  # acceptance rates are a few percent
+    mode_id = jnp.asarray(_MODE_ID[mode], jnp.int32)
+    sign_x = jnp.asarray(1.0 if direction == "left_to_right" else -1.0)
     while total < num_trajectories:
         key, sub = jax.random.split(key)
-        cand = _generate_compacted(sub, batch, mode, direction, max_keep)
+        cand = _generate_compacted_core(sub, batch, mode_id, sign_x, max_keep)
         n_acc = int(np.asarray(cand["n_accepted"]))
         times = np.asarray(cand["times"])
         for k in out:

@@ -114,6 +114,23 @@ def match_by_tag(
     group_tags: List[List[np.ndarray]] = []  # per group: list of (L,) tags
     group_keys: List[float] = []
 
+    def open_group(idx, tag, joint):
+        # The reference keys its joint_dict by tag[0], so a candidate whose
+        # first tag value exactly equals an existing group's key merges into
+        # that group instead of opening a new one
+        # (ref: group.py:110-113 joint_dict.setdefault).
+        key = float(tag[0])
+        if key in group_keys:
+            g = group_keys.index(key)
+            group_joints[g][idx] = joint
+            group_tags[g].append(tag)
+            return
+        pose = np.zeros((K, 3 + L), np.float32)
+        pose[idx] = joint
+        group_joints.append(pose)
+        group_tags.append([tag])
+        group_keys.append(key)
+
     for step, idx in enumerate(order):
         keep = val_k[idx] > detection_threshold
         if not keep.any():
@@ -128,11 +145,7 @@ def match_by_tag(
 
         if step == 0 or not group_joints:
             for tag, joint in zip(tags, joints):
-                pose = np.zeros((K, 3 + L), np.float32)
-                pose[idx] = joint
-                group_joints.append(pose)
-                group_tags.append([tag])
-                group_keys.append(float(tag[0]))
+                open_group(idx, tag, joint)
             continue
 
         active = list(range(min(len(group_joints), max_num_people)))
@@ -153,11 +166,7 @@ def match_by_tag(
                 group_joints[active[col]][idx] = joints[row]
                 group_tags[active[col]].append(tags[row])
             else:
-                pose = np.zeros((K, 3 + L), np.float32)
-                pose[idx] = joints[row]
-                group_joints.append(pose)
-                group_tags.append([tags[row]])
-                group_keys.append(float(tags[row][0]))
+                open_group(idx, tags[row], joints[row])
 
     if not group_joints:
         return np.zeros((0, K, 3 + L), np.float32)
@@ -232,6 +241,50 @@ def refine_pose(heatmaps: np.ndarray, tags: np.ndarray, pose: np.ndarray,
     return pose
 
 
+def _post_dark_udp(coords: np.ndarray, heatmaps: np.ndarray, kernel: int = 3) -> np.ndarray:
+    """DARK-UDP sub-pixel refinement at each pose's own coordinates
+    (ref: top_down_eval.py:354-414, numpy port of the bottom-up B=1 case).
+
+    coords (P, K, 2) float pixel coords; heatmaps (K, H, W). Blur with a
+    separable Gaussian (cv2 sigma convention), clip+log, then a one-step
+    Newton update using the 3x3 log-heatmap Taylor expansion evaluated at
+    each pose's truncated integer coordinate.
+    """
+    P, K = coords.shape[:2]
+    _, H, W = heatmaps.shape
+    sigma = 0.3 * ((kernel - 1) * 0.5 - 1) + 0.8
+    r = kernel // 2
+    xk = np.arange(-r, r + 1, dtype=np.float32)
+    g = np.exp(-(xk**2) / (2 * sigma**2))
+    g /= g.sum()
+    # separable blur with reflect-101 borders (cv2.GaussianBlur default)
+    hm = np.pad(heatmaps.astype(np.float32), ((0, 0), (r, r), (r, r)), mode="reflect")
+    hm = np.apply_along_axis(lambda m: np.convolve(m, g, mode="valid"), 2, hm)
+    hm = np.apply_along_axis(lambda m: np.convolve(m, g, mode="valid"), 1, hm)
+    np.clip(hm, 0.001, 50, hm)
+    np.log(hm, hm)
+    pad = np.pad(hm, ((0, 0), (1, 1), (1, 1)), mode="edge")  # (K, H+2, W+2)
+
+    x = np.clip(coords[..., 0].astype(int), 0, W - 1) + 1  # (P, K) in padded frame
+    y = np.clip(coords[..., 1].astype(int), 0, H - 1) + 1
+    kk = np.broadcast_to(np.arange(K)[None], (P, K))
+
+    def v(dy, dx):
+        return pad[kk, y + dy, x + dx]
+
+    dx1 = 0.5 * (v(0, 1) - v(0, -1))
+    dy1 = 0.5 * (v(1, 0) - v(-1, 0))
+    dxx = v(0, 1) - 2 * v(0, 0) + v(0, -1)
+    dyy = v(1, 0) - 2 * v(0, 0) + v(-1, 0)
+    dxy = 0.5 * (v(1, 1) - v(0, 1) - v(1, 0) + 2 * v(0, 0) - v(0, -1) - v(-1, 0) + v(-1, -1))
+    hess = np.stack(
+        [np.stack([dxx, dxy], -1), np.stack([dxy, dyy], -1)], -2
+    )  # (P, K, 2, 2)
+    hess = np.linalg.inv(hess + np.finfo(np.float32).eps * np.eye(2))
+    deriv = np.stack([dx1, dy1], -1)[..., None]  # (P, K, 2, 1)
+    return coords - np.einsum("pkmn,pknj->pkmj", hess, deriv)[..., 0]
+
+
 class HeatmapParser:
     """Bottom-up associative-embedding parser (ref: group.py:144-410).
 
@@ -285,20 +338,14 @@ class HeatmapParser:
 
         if adjust:
             if self.use_udp:
-                from upliftingtabletennis_tpu.ops.heatmap_decode import keypoints_from_heatmaps
-
                 for i, poses in enumerate(results):
                     if poses.shape[0] == 0:
                         continue
-                    # DARK sub-pixel refinement around each pose's argmax
-                    coords, _ = keypoints_from_heatmaps(
-                        jnp.asarray(heatmaps[i : i + 1]), post_process="dark"
+                    # DARK/UDP refinement around each pose's OWN coordinates
+                    # (ref: group.py:384-388 -> top_down_eval.post_dark_udp)
+                    poses[..., :2] = _post_dark_udp(
+                        poses[..., :2].copy(), heatmaps[i]
                     )
-                    c = np.asarray(coords)[0]  # (K, 2)
-                    det = poses[..., 2] > 0
-                    near = np.abs(poses[..., :2] - c[None]).max(-1) <= 1.5
-                    upd = det & near
-                    poses[..., :2] = np.where(upd[..., None], c[None], poses[..., :2])
             else:
                 results = [adjust_poses(p, heatmaps[i]) for i, p in enumerate(results)]
 

@@ -28,33 +28,51 @@ import numpy as np
 
 
 def build_store(args):
+    """Load (or generate) the trajectory corpus.
+
+    Returns (store, train_idx, val_idx) with the 70/10/20 split computed
+    PER (mode, direction) shard, like the reference's per-directory split
+    (ref: uplifting/data.py:38-48) — a global split over the concatenated
+    corpus would draw all of val from whichever mode sorts last.
+    """
     import jax
 
     from upliftingtabletennis_tpu.data import datagen as DG
     from upliftingtabletennis_tpu.data import synthetic as SYN
 
+    stores = []
     if args.data_dir and os.path.isdir(args.data_dir):
-        stores = []
         for mode in DG.MODES:
             for direction in DG.DIRECTIONS:
+                npz = os.path.join(args.data_dir, mode, f"{direction}.npz")
                 d = os.path.join(args.data_dir, mode, direction)
-                if os.path.isdir(d):
+                if os.path.isfile(npz):
+                    stores.append(SYN.load_store_npz(npz))
+                elif os.path.isdir(d):
                     stores.append(SYN.store_from_disk(d, pad_to=500))
         if not stores:
             # flat layout: trajectory_* directly under data_dir
             stores = [SYN.store_from_disk(args.data_dir, pad_to=500)]
-        cat = lambda xs: np.concatenate(xs, axis=0)  # noqa: E731
-        return SYN.TrajectoryStore(*(cat([np.asarray(getattr(s, f)) for s in stores]) for f in SYN.TrajectoryStore._fields))
-    # generate a small on-the-fly dataset
-    print(f"[data] no data_dir; generating {args.generate} trajectories per mode")
-    key = jax.random.PRNGKey(args.seed)
-    parts = []
-    for mode in ("intermediate", "first_good", "first_long"):
-        key, sub = jax.random.split(key)
-        res = DG.generate_dataset(sub, args.generate, mode, "left_to_right")
-        parts.append(SYN.store_from_datagen(res))
-    return SYN.TrajectoryStore(
-        *(np.concatenate([np.asarray(getattr(p, f)) for p in parts]) for f in SYN.TrajectoryStore._fields)
+    else:
+        # generate a small on-the-fly dataset
+        print(f"[data] no data_dir; generating {args.generate} trajectories per mode")
+        key = jax.random.PRNGKey(args.seed)
+        for mode in ("intermediate", "first_good", "first_long"):
+            key, sub = jax.random.split(key)
+            res = DG.generate_dataset(sub, args.generate, mode, "left_to_right")
+            stores.append(SYN.store_from_datagen(res))
+
+    train_idx, val_idx = [], []
+    off = 0
+    for s in stores:
+        n = len(s)
+        train_idx.append(off + SYN.split_indices(n, "train"))
+        val_idx.append(off + SYN.split_indices(n, "val"))
+        off += n
+    return (
+        SYN.concat_stores(stores),
+        np.concatenate(train_idx),
+        np.concatenate(val_idx),
     )
 
 
@@ -86,6 +104,9 @@ def main(argv=None):
                         "(exceeds the reference, which is save-only; SURVEY §5.4)")
     p.add_argument("--save_latest_every", type=int, default=10,
                    help="epochs between resumable 'latest' state snapshots")
+    p.add_argument("--val_subset", type=int, default=4096,
+                   help="cap on synthetic-val trajectories per epoch "
+                        "(evenly strided over shards; 0 = use all)")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (the reference's detect_anomaly, "
                         "ref: uplifting/train.py:25-26)")
@@ -144,10 +165,8 @@ def main(argv=None):
     except Exception:
         writer = None
 
-    store = build_store(args)
+    store, train_idx, val_idx = build_store(args)
     n = len(store)
-    train_idx = SYN.split_indices(n, "train")
-    val_idx = SYN.split_indices(n, "val")
     print(f"[data] {n} trajectories ({len(train_idx)} train / {len(val_idx)} val)")
     store_j = jax.tree.map(jnp.asarray, store)
 
@@ -166,20 +185,58 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     rng, init_key, data_key = jax.random.split(rng, 3)
 
-    def make_batch(key, idx, train):
+    # The whole batch path (gather + resample + camera sampling + noise
+    # augs + normalize) is ONE jitted program: the augment chain alone is
+    # dozens of jnp ops which, dispatched eagerly through the tunneled
+    # chip's ~4 ms/program floor, dominated round-1's step time.
+    def _assemble(key, store, idx, train):
         k1, k2 = jax.random.split(key)
-        sample = SYN.assemble_batch(k1, store_j, idx, train=train)
+        sample = SYN.assemble_batch(k1, store, idx, train=train)
         sample = train_augment(k2, sample, aug_cfg) if train else eval_augment(sample)
         return Batch(
             ball_img=sample["r_img"], table_img=sample["table_img"], mask=sample["mask"],
             r_world=sample["r_world"], rotation=sample["rotation"], times=sample["times"],
         ), sample
 
+    _make_batch_train = jax.jit(lambda key, store, idx: _assemble(key, store, idx, True))
+    _make_batch_eval = jax.jit(lambda key, store, idx: _assemble(key, store, idx, False))
+
+    def make_batch(key, idx, train):
+        fn = _make_batch_train if train else _make_batch_eval
+        return fn(key, store_j, idx)
+
+    # Single-device fast path: assemble + augment + fwd/bwd/opt/EMA as ONE
+    # program (2 dispatches/step -> 1; each dispatch carries the tunneled
+    # chip's ~4 ms floor). Multi-device keeps the explicit shard_batch path.
+    def make_fused_train_step(train_step):
+        @jax.jit
+        def fused(state, key, store, idx):
+            batch, _ = _assemble(key, store, idx, True)
+            return train_step(state, batch)
+
+        return fused
+
+    def make_fused_val_step(eval_step, val2d_step):
+        @jax.jit
+        def fused(params, key, store, idx):
+            batch, sample = _assemble(key, store, idx, False)
+            m = eval_step(params, batch)
+            m2 = val2d_step(
+                params, sample["r_img"], sample["table_img"], sample["mask"],
+                sample["times"], sample["Mint"], sample["Mext"],
+            )
+            return {**m, "metric_2d": m2["metric_2d"]}
+
+        return fused
+
     example_batch, _ = make_batch(data_key, jnp.asarray(train_idx[: args.batch_size]), True)
     state, tx = create_train_state(model, init_key, example_batch, args.lr)
     train_step = make_train_step(model, tx, args.transform_mode, args.ema_decay)
     eval_step = make_eval_step(model, args.transform_mode)
     val2d_step = make_val2d_step(model, args.transform_mode)
+    single_device = jax.device_count() == 1
+    fused_train = make_fused_train_step(train_step) if single_device else None
+    fused_val = make_fused_val_step(eval_step, val2d_step) if single_device else None
 
     mesh = make_mesh()
     state = replicate(mesh, state)
@@ -188,18 +245,28 @@ def main(argv=None):
     threshold_trajectory = 0.007  # (ref: train.py:76)
     steps_per_epoch = max(len(train_idx) // args.batch_size, 1)
 
+    val_sel = val_idx
+    if args.val_subset and len(val_idx) > args.val_subset:
+        # evenly-strided subset keeps every (mode, direction) shard
+        # represented while bounding per-epoch val cost on the tunnel
+        val_sel = val_idx[:: max(len(val_idx) // args.val_subset, 1)][: args.val_subset]
+
     def run_val(params, epoch):
         # synthetic val (ref: val, train.py:141-225)
         tot = None
-        for s in range(0, len(val_idx), args.batch_size):
-            idx = jnp.asarray(val_idx[s : s + args.batch_size])
-            batch, sample = make_batch(jax.random.PRNGKey(epoch * 7919 + s), idx, False)
-            m = eval_step(params, batch)
-            m2 = val2d_step(
-                params, sample["r_img"], sample["table_img"], sample["mask"],
-                sample["times"], sample["Mint"], sample["Mext"],
-            )
-            m = {**m, "metric_2d": m2["metric_2d"]}
+        for s in range(0, len(val_sel), args.batch_size):
+            idx = jnp.asarray(val_sel[s : s + args.batch_size])
+            key_s = jax.random.PRNGKey(epoch * 7919 + s)
+            if single_device:
+                m = fused_val(params, key_s, store_j, idx)
+            else:
+                batch, sample = make_batch(key_s, idx, False)
+                m = eval_step(params, batch)
+                m2 = val2d_step(
+                    params, sample["r_img"], sample["table_img"], sample["mask"],
+                    sample["times"], sample["Mint"], sample["Mext"],
+                )
+                m = {**m, "metric_2d": m2["metric_2d"]}
             tot = m if tot is None else jax.tree.map(lambda a, b: a + b, tot, m)
         count = float(tot["count"])
         metric = float(tot["metric"]) / count
@@ -309,9 +376,12 @@ def main(argv=None):
             if len(idx) < args.batch_size:
                 continue
             rng, bk = jax.random.split(rng)
-            batch, _ = make_batch(bk, idx, True)
-            batch = shard_batch(mesh, batch)
-            state, metrics = train_step(state, batch)
+            if single_device:
+                state, metrics = fused_train(state, bk, store_j, idx)
+            else:
+                batch, _ = make_batch(bk, idx, True)
+                batch = shard_batch(mesh, batch)
+                state, metrics = train_step(state, batch)
             if writer and it % 10 == 0:
                 writer.add_scalar("train/loss", float(metrics["loss"]), it)
                 writer.add_scalar("train/loss rotation", float(metrics["loss_rot"]), it)
