@@ -35,7 +35,10 @@ friction="0.1 ...", ref: helper.py:110), which empirically gives:
     capped by the Coulomb cone mu (1+e) |v_n|  (viscous friction reference)
   * spin update from the rigid-body impulse relation
     d omega = -(m r / I) (n x dv_t)
-  * ground contact (default solref) is nearly dead: e ~ 0.1.
+  * ground contact (floor: NOT in the XML pair list, so MuJoCo soft
+    defaults apply) has slip-dependent restitution e ~ 0.04-0.25 with
+    strong friction; the table box is solid to the floor, so its four
+    side faces are contact surfaces too.
 Torsional friction (mu_spin = 0.005) and table-edge contact normals are not
 modeled (negligible for valid trajectories, which the mode validators filter
 anyway, ref: mujocosimulation.py:206-211).
@@ -76,8 +79,18 @@ K_SPIN = 8.0 * jnp.pi * AIR_VISCOSITY * BALL_RADIUS**3 / _BALL_INERTIA
 
 # --- contact coefficients (fitted to MuJoCo, see module docstring) ----------
 E_TABLE = 0.99
-E_GROUND = 0.10
 E_NET = 0.99  # same stiff contact pair as the table (measured 0.97-0.99)
+# The FLOOR is not in the XML's explicit <contact> pair list
+# (ref: helper.py:110-117 — only ball-table and ball-net pairs carry the
+# stiff solref), so ball-floor contact runs MuJoCo's soft defaults with the
+# elliptic friction cone, which couples tangential slip into the normal
+# impulse: measured restitution off the reference floor rises ~0.03 -> 0.24
+# as contact-point slip goes 0 -> 9 m/s, with strong tangential friction.
+E_GROUND_BASE = 0.04
+E_GROUND_SLIP = 0.022  # d e / d |slip| (1 / (m/s))
+E_GROUND_MAX = 0.25
+GROUND_MU = 1.0
+GROUND_FRIC_DECAY = 1.0  # full one-shot rolling target (soft persistent contact)
 # The net box: halfwidth 0.02 in x, y-halfsize TABLE_HEIGHT+NET_POST_OFFSET,
 # z from TABLE_HEIGHT-NET_HEIGHT_ABOVE_TABLE to TABLE_HEIGHT+NET_HEIGHT_ABOVE_TABLE
 # (ref: helper.py:100 — note the box extends BELOW the table top).
@@ -191,6 +204,8 @@ def _bounce_impulse(v, w, normal, e_n, mu, fric_decay):
     reduced by `fric_decay` fraction, capped by the Coulomb cone; spin
     updated by the rigid-body impulse relation.
     """
+    e_n = jnp.asarray(e_n, v.dtype)
+    e_nk = e_n[..., None] if e_n.ndim else e_n  # broadcast against (..., 1)
     v_n = jnp.sum(v * normal, axis=-1, keepdims=True)  # negative approaching
     v_t = v - v_n * normal
     # contact point at -R*normal: u = v_t + w x (-R n) (tangential part)
@@ -200,11 +215,11 @@ def _bounce_impulse(v, w, normal, e_n, mu, fric_decay):
     u_hat = u / jnp.maximum(u_norm, 1e-9)
 
     dv_t_mag = jnp.minimum(
-        fric_decay * u_norm / _SLIP_RATIO, mu * (1.0 + e_n) * jnp.abs(v_n)
+        fric_decay * u_norm / _SLIP_RATIO, mu * (1.0 + e_nk) * jnp.abs(v_n)
     )
     dv_t = -dv_t_mag * u_hat
 
-    v_out = v_t + dv_t - e_n * v_n * normal
+    v_out = v_t + dv_t - e_nk * v_n * normal
     dw = -(BALL_MASS * BALL_RADIUS / _BALL_INERTIA) * jnp.cross(normal, dv_t)
     w_out = w + dw
     return v_out, w_out
@@ -213,18 +228,20 @@ def _bounce_impulse(v, w, normal, e_n, mu, fric_decay):
 _Z = jnp.array([0.0, 0.0, 1.0])
 
 
-def _handle_plane_bounce(r_old, state_new, z_contact, on_region, e_n):
+def _handle_plane_bounce(r_old, state_new, z_contact, on_region, e_n,
+                         mu=FRICTION_MU, fric_decay=FRIC_DECAY):
     """Branchless z-plane bounce: if the step crossed z_contact downward and
     the (x, y) position is inside `on_region`, reflect at the crossing point.
 
     r_old: (..., 3) pre-step position; state_new: post-step BallState.
+    e_n may be a per-element array (slip-dependent ground restitution).
     """
     r_new, v_new, w_new = state_new
     crossed = (r_old[..., 2] >= z_contact) & (r_new[..., 2] < z_contact) & (v_new[..., 2] < 0)
     hit = crossed & on_region
 
     normal = jnp.broadcast_to(_Z, v_new.shape)
-    v_b, w_b = _bounce_impulse(v_new, w_new, normal, e_n, FRICTION_MU, FRIC_DECAY)
+    v_b, w_b = _bounce_impulse(v_new, w_new, normal, e_n, mu, fric_decay)
     # reflect the overshoot below the plane
     z_ref = z_contact + e_n * (z_contact - r_new[..., 2])
     r_b = jnp.concatenate([r_new[..., :2], z_ref[..., None]], axis=-1)
@@ -235,6 +252,60 @@ def _handle_plane_bounce(r_old, state_new, z_contact, on_region, e_n):
         jnp.where(hit_e, v_b, v_new),
         jnp.where(hit_e, w_b, w_new),
     ), hit
+
+
+def _ground_restitution(v, w):
+    """Slip-dependent floor restitution (see E_GROUND_* above)."""
+    normal = jnp.broadcast_to(_Z, v.shape)
+    v_n = jnp.sum(v * normal, axis=-1, keepdims=True)
+    u = (v - v_n * normal) + jnp.cross(w, -BALL_RADIUS * normal)
+    u = u - jnp.sum(u * normal, axis=-1, keepdims=True) * normal
+    slip = jnp.linalg.norm(u, axis=-1)
+    return jnp.clip(E_GROUND_BASE + E_GROUND_SLIP * slip, E_GROUND_BASE, E_GROUND_MAX)
+
+
+def _handle_table_side_bounce(r_old, state_new):
+    """Bounces off the table box's four SIDE faces.
+
+    The reference table is a solid box reaching the floor
+    (ref: helper.py:100 — pos z=H/2, half-size H/2), so no under-table
+    space exists; a ball can strike the vertical faces below the top. Our
+    top-surface plane alone would let floor-bounced balls fly under the
+    table and register phantom hit intervals.
+    """
+    r_new, v_new, w_new = state_new
+    below_top = r_new[..., 2] < TABLE_HEIGHT
+
+    out = state_new
+    for axis, half, other_half in (
+        (0, TABLE_LENGTH / 2, TABLE_WIDTH / 2),
+        (1, TABLE_WIDTH / 2, TABLE_LENGTH / 2),
+    ):
+        r_new, v_new, w_new = out
+        c = half + BALL_RADIUS
+        other = 1 - axis
+        in_band = jnp.abs(r_new[..., other]) < other_half + BALL_RADIUS
+        s = jnp.sign(r_old[..., axis])
+        crossed = (
+            (jnp.abs(r_old[..., axis]) >= c)
+            & ((r_new[..., axis] - s * c) * s < 0)
+            & (v_new[..., axis] * s < 0)
+        )
+        hit = crossed & in_band & below_top
+        e = jnp.zeros(3).at[axis].set(1.0)
+        normal = s[..., None] * e
+        v_b, w_b = _bounce_impulse(v_new, w_new, normal, E_TABLE, FRICTION_MU, FRIC_DECAY)
+        a_ref = s * c - E_TABLE * (r_new[..., axis] - s * c)
+        r_b = jnp.where(
+            jnp.arange(3) == axis, a_ref[..., None], r_new
+        )
+        hit_e = hit[..., None]
+        out = BallState(
+            jnp.where(hit_e, r_b, r_new),
+            jnp.where(hit_e, v_b, v_new),
+            jnp.where(hit_e, w_b, w_new),
+        )
+    return out, None
 
 
 def _handle_net_bounce(r_old, state_new):
@@ -279,8 +350,11 @@ def step(state: BallState, dt: float = DT) -> BallState:
         jnp.abs(new.r[..., 1]) < TABLE_WIDTH / 2
     )
     new, _ = _handle_plane_bounce(r, new, CONTACT_Z_TABLE, on_table, E_TABLE)
+    new, _ = _handle_table_side_bounce(r, new)
     new, _ = _handle_plane_bounce(
-        r, new, CONTACT_Z_GROUND, jnp.ones_like(on_table), E_GROUND
+        r, new, CONTACT_Z_GROUND, jnp.ones_like(on_table),
+        _ground_restitution(new.v, new.w), mu=GROUND_MU,
+        fric_decay=GROUND_FRIC_DECAY,
     )
     new, _ = _handle_net_bounce(r, new)
     return new

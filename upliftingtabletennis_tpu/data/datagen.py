@@ -464,19 +464,27 @@ def _generate_compacted_core(key, n: int, mode_id, sign_x, max_keep: int):
     return out
 
 
-def generate_dataset(key, num_trajectories: int, mode: str, direction: str, batch: int = 4096):
+def generate_dataset(key, num_trajectories: int, mode: str, direction: str,
+                     batch: int = 4096, max_seconds: float = 0.0):
     """Keep sampling batches until `num_trajectories` accepted (host loop).
 
     Returns numpy arrays truncated/stacked to num_trajectories, mirroring the
     reference's quota loop (ref: get_valid_trajectories, :222-238).
+    max_seconds > 0 bounds wall time and returns what was accepted so far
+    (rare modes: final_win is ~0.2% acceptance even in reference MuJoCo).
     """
+    import time as _time
+
     out = {k: [] for k in _COMPACT_FIELDS}
     times = None
     total = 0
     max_keep = max(batch // 8, 64)  # acceptance rates are a few percent
     mode_id = jnp.asarray(_MODE_ID[mode], jnp.int32)
     sign_x = jnp.asarray(1.0 if direction == "left_to_right" else -1.0)
+    t0 = _time.perf_counter()
     while total < num_trajectories:
+        if max_seconds and (_time.perf_counter() - t0) > max_seconds:
+            break  # out lists hold >= 1 (possibly 0-row) arrays after a batch
         key, sub = jax.random.split(key)
         cand = _generate_compacted_core(sub, batch, mode_id, sign_x, max_keep)
         n_acc = int(np.asarray(cand["n_accepted"]))

@@ -1,0 +1,341 @@
+"""Closed-loop synthetic end-to-end pipeline accuracy (no real data needed).
+
+Protocol (VERDICT round-1 item 3; the only obtainable pipeline-level
+accuracy number in a no-egress environment):
+
+1. Physics trajectories (data/datagen engine) are projected through
+   sampled broadcast-like cameras (data/synthetic camera model) and
+   rendered into video frames ON DEVICE (data/render_rally).
+2. Ball + table detectors are trained on these rendered frames — the
+   rendering happens inside the jitted train step, so the "dataset" is
+   infinite and never touches the host.
+3. The FULL pipeline (detect -> dual-model filter -> DBSCAN table fusion
+   -> RANSAC calibration -> uplifting, pipeline/interface.py) runs on
+   held-out rendered rallies and is scored against the physics ground
+   truth: ball detection px error, table reprojection px error, 3D
+   trajectory error (cm), spin accuracy / macro-F1.
+
+Metric definitions follow the reference's combined eval
+(ref: inference/inference_combined.py:65-175, 137-163); the 3D error is
+extra — real TTHQ/TTST have no 3D ground truth, the physics world does.
+
+  python -m upliftingtabletennis_tpu.eval.closed_loop \
+      --data_dir <syntheticdata root> --out artifacts/closed_loop \
+      --train_steps 600 --n_eval 32 [--uplifting_checkpoint <dir>]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+EVAL_W, EVAL_H = 1920, 1080  # pipeline working space (interface.py:38)
+
+
+def _load_store(data_dir, modes=("intermediate",)):
+    import jax
+
+    from upliftingtabletennis_tpu.data import datagen as DG
+    from upliftingtabletennis_tpu.data import synthetic as SYN
+
+    stores = []
+    if data_dir and os.path.isdir(data_dir):
+        for mode in modes:
+            for direction in DG.DIRECTIONS:
+                npz = os.path.join(data_dir, mode, f"{direction}.npz")
+                if os.path.isfile(npz):
+                    stores.append(SYN.load_store_npz(npz))
+    if not stores:
+        key = jax.random.PRNGKey(0)
+        res = DG.generate_dataset(key, 256, "intermediate", "left_to_right")
+        stores.append(SYN.store_from_datagen(res))
+    return SYN.concat_stores(stores)
+
+
+def _pipeline_from(ball_ckpt, table_ckpt, uplifting_checkpoint, model_res, chunk=8):
+    """Pipeline with the closed-loop-trained detectors. Main and aux slots
+    share one model per task — the dual-model agreement filter then always
+    passes, which is the protocol's intent (it still exercises the filter,
+    DBSCAN fusion, calibration and uplifting stages)."""
+    from upliftingtabletennis_tpu.pipeline.interface import (
+        BallDetector,
+        TableDetector,
+        TableTennisPipeline,
+        UpliftingModel,
+    )
+
+    pipe = TableTennisPipeline.__new__(TableTennisPipeline)
+    pipe.ball_detector = BallDetector("wasb", ball_ckpt, chunk, resolution=model_res)
+    pipe.ball_detector_aux = BallDetector("wasb", ball_ckpt, chunk, resolution=model_res)
+    pipe.table_detector = TableDetector("hrnet", table_ckpt, chunk, resolution=model_res)
+    pipe.table_detector_aux = TableDetector("hrnet", table_ckpt, chunk, resolution=model_res)
+    if uplifting_checkpoint:
+        pipe.uplifting_model = UpliftingModel(uplifting_checkpoint)
+    else:
+        from upliftingtabletennis_tpu.pipeline.interface import UpliftingModel as UM
+
+        pipe.uplifting_model = UM(name="connectstage", size="small")
+    pipe.KEYPOINT_VISIBLE = 1
+    return pipe
+
+
+def train_detectors(store, args):
+    """Train ball (triplet) + table (single-frame) detectors on frames
+    rendered inside the jitted step (loss/EMA semantics as the reference
+    trainers, ref: balldetection/train.py:93-141)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from upliftingtabletennis_tpu.data import synthetic as SYN
+    from upliftingtabletennis_tpu.data.render_rally import render_frames, rescale_px
+    from upliftingtabletennis_tpu.core.geometry import WIDTH as UPL_W, HEIGHT as UPL_H
+    from upliftingtabletennis_tpu.eval import metrics as M
+    from upliftingtabletennis_tpu.models.factory import get_detector
+
+    RW, RH = args.render_res  # rendered frame resolution == model input res
+    B = args.batch_size
+    store_j = jax.tree.map(jnp.asarray, store)
+    train_idx = jnp.asarray(SYN.split_indices(len(store), "train"))
+
+    def sample_rendered(key, task):
+        """(images, coords_eval, vis) rendered on the fly."""
+        k_idx, k_b, k_t, k_n = jax.random.split(key, 4)
+        idx = jax.random.choice(k_idx, train_idx, (B,), replace=False)
+        sample = SYN.assemble_batch(k_b, store_j, idx, train=True)
+        r_img = sample["r_img"]            # (B, 50, 2) px in 2560x1440
+        mask = sample["mask"]              # (B, 50)
+        table_img = sample["table_img"]    # (B, 13, 3)
+        # random valid frame (not first/last so the triplet stays in-rally)
+        T = r_img.shape[1]
+        u = jax.random.uniform(k_t, (B,))
+        n_valid = jnp.sum(mask, axis=1)
+        t_mid = jnp.clip((u * (n_valid - 2)).astype(jnp.int32) + 1, 1, T - 2)
+        bidx = jnp.arange(B)
+
+        table_px = rescale_px(table_img[..., :2], (UPL_W, UPL_H), (RW, RH))
+        ball_px_all = rescale_px(r_img, (UPL_W, UPL_H), (RW, RH))
+
+        def render_one(k, b):
+            if task == "ball":
+                ts = jnp.stack([t_mid[b] - 1, t_mid[b], t_mid[b] + 1])
+            else:
+                ts = t_mid[b][None]
+            frames = render_frames(
+                k, ball_px_all[b, ts], mask[b, ts], table_px[b],
+                height=RH, width=RW,
+            )
+            return jnp.concatenate([f for f in frames], axis=-1)  # (RH, RW, 3|9)
+
+        keys = jax.random.split(k_n, B)
+        images = jax.vmap(render_one)(keys, bidx)
+        if task == "ball":
+            coords = rescale_px(
+                r_img[bidx, t_mid][:, None], (UPL_W, UPL_H), (EVAL_W, EVAL_H)
+            )  # (B, 1, 2) eval px
+            vis = jnp.ones((B, 1))
+        else:
+            coords = rescale_px(table_img[..., :2], (UPL_W, UPL_H), (EVAL_W, EVAL_H))
+            vis = table_img[..., 2]
+        return images, coords, vis
+
+    results = {}
+    for task in ("ball", "table"):
+        model_name = "wasb" if task == "ball" else "hrnet"
+        model, _ = get_detector(model_name, task, train=True)
+        n_ch = 9 if task == "ball" else 3
+        n_pts = 1 if task == "ball" else 13
+        rng = jax.random.PRNGKey(args.seed + (0 if task == "ball" else 1))
+        rng, k_init = jax.random.split(rng)
+        variables = jax.jit(model.init)(k_init, jnp.zeros((1, RH, RW, n_ch)))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(args.lr))
+        opt_state = tx.init(params)
+        ema = params
+
+        @jax.jit
+        def step(params, batch_stats, opt_state, ema, key):
+            k_data, k_drop = jax.random.split(key)
+            images, coords, vis = sample_rendered(k_data, task)
+            target = M.render_gaussian_heatmaps(
+                coords[:, :n_pts], vis[:, :n_pts], EVAL_H, EVAL_W, 6.0
+            )
+
+            def loss_fn(p):
+                out = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    images.astype(jnp.float32),
+                    mutable=["batch_stats"] if batch_stats else [],
+                    rngs={"dropout": k_drop},
+                )
+                y, new_state = out if batch_stats else (out, {})
+                heat = y[0] if isinstance(y, tuple) else y  # some models return (heat, cls)
+                logits = jnp.moveaxis(heat, -1, 1)
+                logits = jax.image.resize(
+                    logits, (*logits.shape[:2], EVAL_H, EVAL_W), "bilinear"
+                )
+                return M.weighted_mse_loss(logits, target), new_state
+
+            (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            ema = jax.tree.map(lambda e, q: 0.999 * e + 0.001 * q, ema, params)
+            return params, new_state.get("batch_stats", batch_stats), opt_state, ema, loss
+
+        t0 = time.perf_counter()
+        for it in range(args.train_steps):
+            rng, k = jax.random.split(rng)
+            params, batch_stats, opt_state, ema, loss = step(
+                params, batch_stats, opt_state, ema, k
+            )
+            if it % 50 == 0 or it == args.train_steps - 1:
+                print(f"[{task}] step {it}: loss {float(loss):.4f} "
+                      f"({time.perf_counter() - t0:.0f}s)", flush=True)
+
+        from upliftingtabletennis_tpu.utils.checkpoint import save_checkpoint
+
+        ckpt = os.path.join(args.out, f"{task}_detector")
+        tree = {"params": jax.device_get(ema)}
+        if batch_stats:
+            tree["batch_stats"] = jax.device_get(batch_stats)
+        save_checkpoint(ckpt, tree, f"closed_loop_{model_name}",
+                        {"task": task, "model": model_name, "render_res": list(args.render_res)})
+        results[task] = ckpt
+    return results
+
+
+def evaluate_pipeline(store, ckpts, args):
+    """Render held-out rallies at 1920x1080 and run the COMPLETE pipeline,
+    scoring vs physics truth (metrics per inference_combined.py:137-163
+    + 3D error the real datasets cannot provide)."""
+    import jax
+    import jax.numpy as jnp
+
+    from upliftingtabletennis_tpu.core.geometry import (
+        HEIGHT as UPL_H,
+        WIDTH as UPL_W,
+        transform_rotation_axes,
+    )
+    from upliftingtabletennis_tpu.data import synthetic as SYN
+    from upliftingtabletennis_tpu.data.render_rally import render_frames, rescale_px
+    from upliftingtabletennis_tpu.train.uplifting_train import spin_classification_metrics
+
+    store_j = jax.tree.map(jnp.asarray, store)
+    test_idx = SYN.split_indices(len(store), "test")[: args.n_eval]
+    pipe = _pipeline_from(
+        ckpts["ball"], ckpts["table"], args.uplifting_checkpoint, tuple(args.render_res)
+    )
+
+    ball_px_errs, table_px_errs, pos3d_errs = [], [], []
+    spin_scores, spin_labels = [], []
+    n_valid_frames = 0
+    for j, ti in enumerate(test_idx):
+        key = jax.random.PRNGKey(10_000 + int(ti))
+        sample = SYN.assemble_batch(
+            key, store_j, jnp.asarray([int(ti)]), train=True
+        )  # train=True samples a fresh camera; key is fixed per rally
+        mask = np.asarray(sample["mask"][0])
+        T = int(mask.sum())
+        if T < 8:
+            continue
+        r_img_pad = np.asarray(sample["r_img"][0])       # (50, 2) 2560x1440 px
+        table_img = np.asarray(sample["table_img"][0])
+        r_world = np.asarray(sample["r_world"][0][:T])
+        rotation = np.asarray(sample["rotation"][0])
+        times = np.asarray(sample["times"][0][:T])
+
+        ball_eval_pad = np.asarray(rescale_px(r_img_pad, (UPL_W, UPL_H), (EVAL_W, EVAL_H)))
+        ball_eval = ball_eval_pad[:T]
+        table_eval = np.asarray(
+            rescale_px(table_img[:, :2], (UPL_W, UPL_H), (EVAL_W, EVAL_H))
+        )
+        # render the whole rally at the pipeline's working resolution; the
+        # padded tail renders ball-free and is sliced off (fixed shape ->
+        # one compile for all rallies)
+        frames = np.asarray(
+            render_frames(
+                jax.random.PRNGKey(j), jnp.asarray(ball_eval_pad), jnp.asarray(mask),
+                jnp.asarray(table_eval), height=EVAL_H, width=EVAL_W,
+            )
+        )[:T]
+        fps = 1.0 / max(float(times[1] - times[0]), 1e-6)
+        out = pipe.run_rally(frames, fps=fps)
+
+        # ball detection error vs ground truth at the filtered frames
+        # (valid_idx indexes interior frames 1..T-2, interface.py run_rally)
+        vi = np.asarray(out["valid_idx"]) + 1
+        if len(vi):
+            d = np.linalg.norm(out["ball"] - ball_eval[vi], axis=-1)
+            ball_px_errs.append(d)
+            n_valid_frames += len(vi)
+
+        # table keypoint error vs ground truth
+        vis_kp = out["table"][:, 2] > 0
+        if vis_kp.any():
+            dt = np.linalg.norm(out["table"][vis_kp, :2] - table_eval[vis_kp], axis=-1)
+            table_px_errs.append(dt)
+
+        # 3D trajectory error vs physics, spin class vs physics
+        if out["pos3d"] is not None and len(out["pos3d"]) == len(vi):
+            d3 = np.linalg.norm(out["pos3d"] - r_world[vi], axis=-1)
+            pos3d_errs.append(d3)
+        if out["spin"] is not None:
+            w_local = np.asarray(
+                transform_rotation_axes(jnp.asarray(rotation), jnp.asarray(r_world))
+            )
+            spin_scores.append(float(out["spin"][1]))
+            spin_labels.append(1.0 if w_local[1] > 0 else 2.0)
+
+    res = {
+        "n_rallies": int(len(test_idx)),
+        "n_detected_frames": int(n_valid_frames),
+        "ball_detection_px_mean": float(np.mean(np.concatenate(ball_px_errs))) if ball_px_errs else None,
+        "ball_detection_px_median": float(np.median(np.concatenate(ball_px_errs))) if ball_px_errs else None,
+        "table_detection_px_mean": float(np.mean(np.concatenate(table_px_errs))) if table_px_errs else None,
+        "pos3d_err_cm_mean": float(100 * np.mean(np.concatenate(pos3d_errs))) if pos3d_errs else None,
+        "pos3d_err_cm_median": float(100 * np.median(np.concatenate(pos3d_errs))) if pos3d_errs else None,
+    }
+    if spin_scores:
+        sm = spin_classification_metrics(np.asarray(spin_scores), np.asarray(spin_labels))
+        res["spin_accuracy"] = sm["accuracy"]
+        res["spin_macro_f1"] = sm["macro_f1"]
+    return res
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_dir", type=str, default=None)
+    p.add_argument("--out", type=str, default="artifacts/closed_loop")
+    p.add_argument("--train_steps", type=int, default=600)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--n_eval", type=int, default=32)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--render_res", type=int, nargs=2, default=(960, 544),
+                   help="rendered-frame + detector input resolution W H "
+                        "(training renders at model res; eval renders 1920x1080)")
+    p.add_argument("--uplifting_checkpoint", type=str, default=None)
+    p.add_argument("--skip_train", action="store_true",
+                   help="reuse checkpoints already in --out")
+    args = p.parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+
+    store = _load_store(args.data_dir)
+    print(f"[data] {len(store)} trajectories")
+    if args.skip_train:
+        ckpts = {t: os.path.join(args.out, f"{t}_detector") for t in ("ball", "table")}
+    else:
+        ckpts = train_detectors(store, args)
+    res = evaluate_pipeline(store, ckpts, args)
+    print(json.dumps(res, indent=2))
+    with open(os.path.join(args.out, "closed_loop_results.json"), "w") as f:
+        json.dump(res, f, indent=2)
+    return res
+
+
+if __name__ == "__main__":
+    main()

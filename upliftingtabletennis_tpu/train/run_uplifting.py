@@ -107,6 +107,9 @@ def main(argv=None):
     p.add_argument("--val_subset", type=int, default=4096,
                    help="cap on synthetic-val trajectories per epoch "
                         "(evenly strided over shards; 0 = use all)")
+    p.add_argument("--max_hours", type=float, default=0.0,
+                   help="wall-clock budget; > 0 stops after the first epoch "
+                        "that exceeds it, saving a resumable 'latest' state")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (the reference's detect_anomaly, "
                         "ref: uplifting/train.py:25-26)")
@@ -361,7 +364,15 @@ def main(argv=None):
 
     print(f"[train] {steps_per_epoch} steps/epoch on {jax.device_count()} device(s)")
     it = start_epoch * steps_per_epoch
+    t_budget0 = time.perf_counter()
     for epoch in range(start_epoch, args.num_epochs):
+        if args.max_hours and (time.perf_counter() - t_budget0) > args.max_hours * 3600:
+            print(f"[train] wall-clock budget {args.max_hours}h reached at epoch {epoch}")
+            save_checkpoint(
+                os.path.join(args.save_dir, identifier, "latest"), state, identifier,
+                {"epoch": epoch - 1, "best": best, **hparams},
+            )
+            break
         # device-time profile of one post-compile epoch (ref has no profiler;
         # SURVEY §5.1 — TPU equivalent of its wall-clock harnesses)
         if args.profile and epoch == 1:
