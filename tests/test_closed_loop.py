@@ -1,0 +1,52 @@
+"""Closed-loop synthetic pipeline-accuracy protocol (VERDICT round-1 #3).
+
+Pins the WIRING of eval/closed_loop.py at toy sizes: physics -> on-device
+rendering -> detector training on the rendered stream -> full pipeline
+(detect, dual-model filter, DBSCAN fusion, RANSAC calibration, uplifting)
+-> metrics vs physics ground truth. Accuracy itself needs real training
+steps on the chip (see artifacts/closed_loop + README).
+"""
+import numpy as np
+
+from upliftingtabletennis_tpu.eval import closed_loop as CL
+
+
+def test_closed_loop_protocol(tmp_path):
+    res = CL.main([
+        "--out", str(tmp_path), "--train_steps", "2", "--batch_size", "2",
+        "--n_eval", "2", "--render_res", "192", "112",
+    ])
+    assert res["n_rallies"] == 2
+    # every metric field exists; values are finite when produced
+    for k in ("ball_detection_px_mean", "table_detection_px_mean",
+              "pos3d_err_cm_mean"):
+        assert k in res
+        if res[k] is not None:
+            assert np.isfinite(res[k])
+    assert (tmp_path / "closed_loop_results.json").exists()
+    assert (tmp_path / "ball_detector").exists()
+    assert (tmp_path / "table_detector").exists()
+
+
+def test_render_rally_shapes_and_determinism():
+    import jax
+    import jax.numpy as jnp
+
+    from upliftingtabletennis_tpu.data.render_rally import render_frames, rescale_px
+
+    key = jax.random.PRNGKey(0)
+    ball = jnp.asarray([[60.0, 40.0], [80.0, 42.0], [-50.0, 10.0]])
+    vis = jnp.asarray([1.0, 1.0, 0.0])
+    table = jnp.asarray(np.random.default_rng(0).uniform(10, 100, (13, 2)), jnp.float32)
+    f = render_frames(key, ball, vis, table, height=72, width=128)
+    assert f.shape == (3, 72, 128, 3) and f.dtype == np.uint8
+    f2 = render_frames(key, ball, vis, table, height=72, width=128)
+    np.testing.assert_array_equal(np.asarray(f), np.asarray(f2))
+    # invisible ball renders no blob: frames 1 and 2 differ only by noise
+    # around the ball site; check the ball pixel is bright in frame 0
+    assert int(f[0, 40, 60].max()) > int(f[2, 40, 60].max())
+
+    # pixel-center rescale round-trip
+    c = jnp.asarray([[10.0, 20.0]])
+    r = rescale_px(rescale_px(c, (1920, 1080), (960, 540)), (960, 540), (1920, 1080))
+    np.testing.assert_allclose(np.asarray(r), np.asarray(c), atol=1e-4)
