@@ -74,3 +74,30 @@ def test_dwconv_custom_vjp_matches_autodiff():
     gr = jax.grad(lambda *a: jnp.sum(jnp.sin(_dw_xla(*a))), (0, 1, 2))(x, w, b)
     for a, r in zip(gc, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=1e-4)
+
+
+def test_fused_ffn_trainable_gradient_parity():
+    """fused_ln_ffn_trainable (kernel fwd + recompute bwd) must produce the
+    same gradients as autodiff through the unfused block — the requirement
+    that puts detector TRAINING on the fused path (VERDICT round-1 #8)."""
+    from upliftingtabletennis_tpu.ops.fused_ffn import fused_ln_ffn_trainable
+
+    rng = np.random.default_rng(7)
+    B, H, W, C, HID = 2, 8, 6, 16, 64
+    x = jnp.asarray(rng.normal(size=(B, H * W, C)), jnp.float32)
+    p = _params(rng, C, HID)
+    names = ("gamma", "beta", "w1", "b1", "dw", "bdw", "w2", "b2")
+    args = tuple(p[n] for n in names)
+    cot = jnp.asarray(rng.normal(size=(B, H * W, C)), jnp.float32)
+
+    def loss_fused(x, *a):
+        return jnp.sum(fused_ln_ffn_trainable(H, W, True, x, *a) * cot)
+
+    def loss_ref(x, *a):
+        return jnp.sum(unfused(x, H, W, *a) * cot)
+
+    gf = jax.grad(loss_fused, argnums=tuple(range(9)))(x, *args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(9)))(x, *args)
+    for name, a, b in zip(("x",) + names, gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=5e-3, err_msg=name)

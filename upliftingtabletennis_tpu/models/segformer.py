@@ -152,11 +152,12 @@ class MiTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, H, W):
-        # inference only: pallas_call has no VJP — training (which needs
-        # grads) takes the unfused differentiable paths below
-        use_fused = (
-            jax.default_backend() == "tpu" and H % 4 == 0 and not self.train
-        )
+        # The attention kernel is inference-only (no VJP); the FFN kernel is
+        # differentiable via recompute-backward (fused_ln_ffn_trainable), so
+        # detector training also runs the fused FFN path.
+        fused_ok = jax.default_backend() == "tpu" and H % 4 == 0
+        use_fused = fused_ok and not self.train
+        use_fused_ffn = fused_ok
         if use_fused and self.tome_ratio == 0.0:
             # fused LN1+q-proj+attention+out-proj+residual kernel
             # (ops/fused_attention.py); K/V (spatially reduced, tiny) are
@@ -206,20 +207,21 @@ class MiTBlock(nn.Module):
             y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
             x = x + EfficientAttention(self.dim, self.num_heads, self.sr_ratio,
                                        self.tome_ratio, name="attn")(y, H, W)
-        if use_fused:
+        if use_fused_ffn:
             # fused LN+FFN+residual Pallas half-block: the hidden (N, 4C)
             # tensor never touches HBM (ops/fused_ffn.py). Params are
             # created by stub sub-module calls (dead code, DCE'd) so the
-            # tree matches the unfused path exactly.
+            # tree matches the unfused path exactly. Differentiable wrapper
+            # (recompute backward) keeps this path active in TRAINING too.
             nn.LayerNorm(epsilon=1e-6, name="norm2")(x[:, :1])
             MixFFN(self.dim, self.mlp_ratio, name="ffn")(x[:, :1], 1, 1)
             p2 = self.get_variable("params", "norm2")
             pf = self.get_variable("params", "ffn")
-            from upliftingtabletennis_tpu.ops.fused_ffn import fused_ln_ffn
+            from upliftingtabletennis_tpu.ops.fused_ffn import fused_ln_ffn_trainable
 
             dt = x.dtype
-            return fused_ln_ffn(
-                x, H, W,
+            return fused_ln_ffn_trainable(
+                H, W, False, x,
                 p2["scale"].astype(dt), p2["bias"].astype(dt),
                 pf["fc1"]["kernel"].astype(dt), pf["fc1"]["bias"].astype(dt),
                 pf["dwconv"]["kernel"][:, :, 0].astype(dt),

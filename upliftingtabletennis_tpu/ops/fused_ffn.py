@@ -158,3 +158,59 @@ def fused_ln_ffn(x, H: int, W: int, gamma, beta, w1, b1, dw, bdw, w2, b2,
         interpret=interpret,
     )(x4, x4, x4, gamma2, beta2, w1, b1_2, dw2, bdw2, w2, b2_2)
     return out.reshape(B, N, C)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: fused forward kernel + recompute backward
+# ---------------------------------------------------------------------------
+
+def _ref_ln_ffn(x, gamma, beta, w1, b1, dw, bdw, w2, b2, H, W, eps=1e-6):
+    """Pure-jnp reference of the fused block (same math as the unfused
+    MiTBlock FFN half: LN -> fc1 -> dw3x3 -> exact gelu -> fc2 -> +res),
+    used to derive the backward pass by recomputation."""
+    from upliftingtabletennis_tpu.ops.dwconv import depthwise_conv3x3
+
+    B, N, C = x.shape
+    hid = w1.shape[1]
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = jnp.square(xf - mean).mean(-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = (y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)).astype(x.dtype)
+    y = y @ w1 + b1
+    y = y.reshape(B, H, W, hid)
+    y = depthwise_conv3x3(y, dw[:, :, None, :], bdw)
+    y = y.reshape(B, N, hid)
+    y = jax.nn.gelu(y, approximate=False)
+    return x + (y @ w2 + b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def fused_ln_ffn_trainable(H, W, interpret, x, gamma, beta, w1, b1, dw, bdw, w2, b2):
+    """Differentiable fused LN+MixFFN block (VERDICT round-1 item 8).
+
+    Forward runs the Pallas kernel (the (N, 4C) hidden tensor never touches
+    HBM); backward RECOMPUTES through `_ref_ln_ffn` and applies its VJP —
+    flash-attention-style rematerialization: ~one extra unfused forward of
+    compute in exchange for never storing the hidden activations, putting
+    detector TRAINING on the fused path (previously inference-only,
+    models/segformer.py round-1 gating)."""
+    return fused_ln_ffn(x, H, W, gamma, beta, w1, b1, dw, bdw, w2, b2,
+                        interpret=interpret)
+
+
+def _fused_ln_ffn_fwd(H, W, interpret, x, gamma, beta, w1, b1, dw, bdw, w2, b2):
+    out = fused_ln_ffn(x, H, W, gamma, beta, w1, b1, dw, bdw, w2, b2,
+                       interpret=interpret)
+    return out, (x, gamma, beta, w1, b1, dw, bdw, w2, b2)
+
+
+def _fused_ln_ffn_bwd(H, W, interpret, res, g):
+    x, *params = res
+    _, vjp = jax.vjp(
+        lambda x_, *p: _ref_ln_ffn(x_, *p, H=H, W=W), x, *params
+    )
+    return vjp(g.astype(x.dtype))
+
+
+fused_ln_ffn_trainable.defvjp(_fused_ln_ffn_fwd, _fused_ln_ffn_bwd)
