@@ -481,12 +481,14 @@ def generate_dataset(key, num_trajectories: int, mode: str, direction: str,
     max_keep = max(batch // 8, 64)  # acceptance rates are a few percent
     mode_id = jnp.asarray(_MODE_ID[mode], jnp.int32)
     sign_x = jnp.asarray(1.0 if direction == "left_to_right" else -1.0)
-    t0 = _time.perf_counter()
+    t0 = None  # started after the first batch: compile time is not budget
     while total < num_trajectories:
-        if max_seconds and (_time.perf_counter() - t0) > max_seconds:
+        if max_seconds and t0 is not None and (_time.perf_counter() - t0) > max_seconds:
             break  # out lists hold >= 1 (possibly 0-row) arrays after a batch
         key, sub = jax.random.split(key)
         cand = _generate_compacted_core(sub, batch, mode_id, sign_x, max_keep)
+        if t0 is None:
+            t0 = _time.perf_counter()
         n_acc = int(np.asarray(cand["n_accepted"]))
         times = np.asarray(cand["times"])
         for k in out:

@@ -42,9 +42,12 @@ def main(argv=None):
     p.add_argument("--modes", type=str, default=None,
                    help="comma-separated subset of modes (default: all)")
     p.add_argument("--max_seconds_per_shard", type=float, default=0.0,
-                   help="> 0: cap each shard's generation time and keep "
-                        "whatever was accepted (final_win acceptance is "
-                        "~0.2%% even in the reference MuJoCo engine)")
+                   help="> 0: cap each capped-mode shard's generation time "
+                        "(post-compile) and keep whatever was accepted")
+    p.add_argument("--capped_modes", type=str, default="final_win",
+                   help="comma-separated modes the time cap applies to "
+                        "(final_win acceptance is ~0.2%% even in the "
+                        "reference MuJoCo engine)")
     args = p.parse_args(argv)
 
     import jax
@@ -67,8 +70,10 @@ def main(argv=None):
                 continue
             key, sub = jax.random.split(key)
             t0 = time.perf_counter()
+            cap = (args.max_seconds_per_shard
+                   if mode in args.capped_modes.split(",") else 0.0)
             res = DG.generate_dataset(sub, n, mode, direction, batch=args.batch,
-                                      max_seconds=args.max_seconds_per_shard)
+                                      max_seconds=cap)
             store = SYN.store_from_datagen(res)
             SYN.save_store_npz(out, store)
             dt = time.perf_counter() - t0
