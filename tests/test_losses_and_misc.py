@@ -124,3 +124,49 @@ def test_simulation_check_and_plot(tmp_path):
     pos = np.load(os.path.join(ddir, "trajectory_0000", "positions.npy"))
     out = plot_trajectories_3d([pos], save_path=str(tmp_path / "traj.png"))
     assert os.path.exists(out)
+
+
+def test_ae_loss_matches_reference_torch():
+    """ae_loss / bottomup_heatmap_loss vs the vendored torch implementation
+    (ref: vit_pose/vit_models/losses/multi_loss_factory.py AELoss,
+    HeatmapLoss) on random tags/joints incl. empty and single-person
+    images (the reference's normalization quirks)."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from vit_pose.vit_models.losses.multi_loss_factory import AELoss, HeatmapLoss
+
+    from upliftingtabletennis_tpu.models.losses import (
+        ae_loss,
+        bottomup_heatmap_loss,
+    )
+
+    rng = np.random.default_rng(3)
+    N, M, K, H, W = 4, 5, 3, 8, 6
+    tags = rng.normal(size=(N, K * H * W, 1)).astype(np.float32)
+    joints = np.zeros((N, M, K, 2), np.int64)
+    joints[..., 0] = rng.integers(0, K * H * W, (N, M, K))
+    joints[..., 1] = rng.integers(0, 2, (N, M, K))
+    joints[1, :, :, 1] = 0                    # image with no people
+    joints[2, 1:, :, 1] = 0                   # single-person image
+    for loss_type in ("exp", "max"):
+        ref = AELoss(loss_type)(torch.tensor(tags), torch.tensor(joints))
+        got = ae_loss(jnp.asarray(tags), jnp.asarray(joints), loss_type)
+        np.testing.assert_allclose(np.asarray(got[0]), ref[0].numpy().ravel(),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got[1]), ref[1].numpy().ravel(),
+                                   atol=1e-5)
+
+    pred = rng.normal(size=(N, K, H, W)).astype(np.float32)
+    gt = np.abs(rng.normal(size=(N, K, H, W))).astype(np.float32)
+    gt[0, 1] = 0.0  # empty channel
+    mask = (rng.uniform(size=(N, H, W)) > 0.3).astype(np.float32)
+    for sup in (True, False):
+        ref = HeatmapLoss(supervise_empty=sup)(
+            torch.tensor(pred), torch.tensor(gt), torch.tensor(mask)
+        )
+        got = bottomup_heatmap_loss(jnp.asarray(pred), jnp.asarray(gt),
+                                    jnp.asarray(mask), supervise_empty=sup)
+        np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-5)

@@ -146,3 +146,68 @@ def scale_by_layer_decay(depth: int, decay_rate: float = 0.75):
         return updates, state
 
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+# ---------------------------------------------------------------------------
+# Bottom-up (associative embedding) losses
+# (ref: vit_pose/vit_models/losses/multi_loss_factory.py:30-161)
+# ---------------------------------------------------------------------------
+
+def bottomup_heatmap_loss(pred, gt, mask, supervise_empty: bool = True):
+    """Masked per-image heatmap MSE (ref: HeatmapLoss, :40-67).
+
+    pred/gt (N, K, H, W); mask (N, H, W). Returns (N,) per-image losses.
+    """
+    se = (pred - gt) ** 2
+    if not supervise_empty:
+        empty = (jnp.sum(gt, axis=(2, 3), keepdims=True) > 0).astype(pred.dtype)
+        se = se * empty
+    se = se * mask[:, None, :, :]
+    return jnp.mean(se, axis=(1, 2, 3))
+
+
+def ae_loss_single(pred_tag, joints, loss_type: str = "exp"):
+    """Associative-embedding push/pull loss for ONE image, vectorized over
+    the reference's per-person python loops (ref: AELoss.singleTagLoss,
+    :82-135; Newell et al. 1611.05424).
+
+    pred_tag (K*H*W,) flattened tag map; joints (M, K, 2) int — per person
+    per joint (flat_index, visibility>0). Returns (push, pull) scalars with
+    the reference's exact normalization quirks (n==1 keeps pull UNdivided).
+    """
+    idx = joints[..., 0]
+    vis = (joints[..., 1] > 0).astype(pred_tag.dtype)  # (M, K)
+    t = pred_tag[idx]  # (M, K)
+    cnt = vis.sum(axis=1)
+    has = cnt > 0
+    mean_t = (t * vis).sum(axis=1) / jnp.maximum(cnt, 1.0)  # (M,)
+    pull_m = (((t - mean_t[:, None]) ** 2) * vis).sum(axis=1) / jnp.maximum(cnt, 1.0)
+    pull_raw = jnp.sum(jnp.where(has, pull_m, 0.0))
+    n = jnp.sum(has.astype(jnp.int32))
+
+    diff = mean_t[:, None] - mean_t[None, :]
+    pair = (has[:, None] & has[None, :]).astype(pred_tag.dtype)
+    if loss_type == "exp":
+        push_raw = jnp.sum(jnp.exp(-(diff**2)) * pair) - n
+    elif loss_type == "max":
+        push_raw = jnp.sum(jnp.clip(1.0 - jnp.abs(diff), 0.0) * pair) - n
+    else:
+        raise ValueError(f"Unknown ae loss type {loss_type}")
+
+    nf = n.astype(pred_tag.dtype)
+    push = jnp.where(n > 1, push_raw / jnp.maximum((nf - 1.0) * nf, 1.0) * 0.5, 0.0)
+    # ref quirk: num_tags == 1 returns the raw pull (not divided by n)
+    pull = jnp.where(n > 1, pull_raw / jnp.maximum(nf, 1.0),
+                     jnp.where(n == 1, pull_raw, 0.0))
+    return push, pull
+
+
+def ae_loss(tags, joints, loss_type: str = "exp"):
+    """Batched AE loss (ref: AELoss.forward, :137-161).
+
+    tags (N, K*H*W) or (N, K*H*W, 1); joints (N, M, K, 2) int.
+    Returns (push (N,), pull (N,)).
+    """
+    if tags.ndim == 3:
+        tags = tags[..., 0]
+    return jax.vmap(lambda t, j: ae_loss_single(t, j, loss_type))(tags, joints)
