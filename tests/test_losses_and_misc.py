@@ -170,3 +170,52 @@ def test_ae_loss_matches_reference_torch():
         got = bottomup_heatmap_loss(jnp.asarray(pred), jnp.asarray(gt),
                                     jnp.asarray(mask), supervise_empty=sup)
         np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-5)
+
+
+def test_regression_losses_match_reference_torch():
+    """smooth-l1 / l1 / mse / mpjpe / bone losses vs the vendored torch
+    implementations (ref: vit_pose/vit_models/losses/regression_loss.py)."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from vit_pose.vit_models.losses.regression_loss import (
+        BoneLoss,
+        L1Loss,
+        MPJPELoss,
+        MSELoss,
+        SmoothL1Loss,
+    )
+
+    rng = np.random.default_rng(5)
+    N, K, D = 3, 7, 3
+    out = rng.normal(size=(N, K, D)).astype(np.float32)
+    tgt = rng.normal(size=(N, K, D)).astype(np.float32)
+    w = rng.uniform(0.5, 1.5, (N, K, D)).astype(np.float32)
+    to = torch.tensor
+    pairs = [
+        (SmoothL1Loss, L.smooth_l1_loss),
+        (L1Loss, L.l1_regression_loss),
+        (MSELoss, L.mse_regression_loss),
+        (MPJPELoss, L.mpjpe_loss),
+    ]
+    for RefCls, fn in pairs:
+        for utw in (False, True):
+            ref = RefCls(use_target_weight=utw)(
+                to(out), to(tgt), to(w) if utw else None
+            ).item()
+            got = float(fn(jnp.asarray(out), jnp.asarray(tgt),
+                           jnp.asarray(w) if utw else None, use_target_weight=utw))
+            np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    parents = [0, 0, 1, 2, 0, 4, 5]
+    bw = rng.uniform(0.5, 1.5, (N, 6)).astype(np.float32)
+    for utw in (False, True):
+        ref = BoneLoss(parents, use_target_weight=utw)(
+            to(out), to(tgt), to(bw) if utw else None
+        ).item()
+        got = float(L.bone_loss(jnp.asarray(out), jnp.asarray(tgt), parents,
+                                jnp.asarray(bw) if utw else None,
+                                use_target_weight=utw))
+        np.testing.assert_allclose(got, ref, atol=1e-5)

@@ -211,3 +211,64 @@ def ae_loss(tags, joints, loss_type: str = "exp"):
     if tags.ndim == 3:
         tags = tags[..., 0]
     return jax.vmap(lambda t, j: ae_loss_single(t, j, loss_type))(tags, joints)
+
+
+# ---------------------------------------------------------------------------
+# Regression losses (ref: vit_pose/vit_models/losses/regression_loss.py)
+# ---------------------------------------------------------------------------
+
+def _weighted(fn, output, target, target_weight, use_target_weight):
+    if use_target_weight:
+        return fn(output * target_weight, target * target_weight)
+    return fn(output, target)
+
+
+def smooth_l1_loss(output, target, target_weight=None, use_target_weight=False,
+                   loss_weight=1.0):
+    """SmoothL1 (ref: :14-52). output/target (N, K, D)."""
+    def f(a, b):
+        d = jnp.abs(a - b)
+        return jnp.mean(jnp.where(d < 1.0, 0.5 * d * d, d - 0.5))
+
+    return _weighted(f, output, target, target_weight, use_target_weight) * loss_weight
+
+
+def l1_regression_loss(output, target, target_weight=None,
+                       use_target_weight=False, loss_weight=1.0):
+    """L1 (ref: :239-268)."""
+    f = lambda a, b: jnp.mean(jnp.abs(a - b))  # noqa: E731
+    return _weighted(f, output, target, target_weight, use_target_weight) * loss_weight
+
+
+def mse_regression_loss(output, target, target_weight=None,
+                        use_target_weight=False, loss_weight=1.0):
+    """MSE (ref: :271-300)."""
+    f = lambda a, b: jnp.mean((a - b) ** 2)  # noqa: E731
+    return _weighted(f, output, target, target_weight, use_target_weight) * loss_weight
+
+
+def mpjpe_loss(output, target, target_weight=None, use_target_weight=False,
+               loss_weight=1.0):
+    """Mean per-joint position error (ref: :200-236)."""
+    f = lambda a, b: jnp.mean(jnp.linalg.norm(a - b, axis=-1))  # noqa: E731
+    return _weighted(f, output, target, target_weight, use_target_weight) * loss_weight
+
+
+def bone_loss(output, target, joint_parents, target_weight=None,
+              use_target_weight=False, loss_weight=1.0):
+    """Bone-length consistency (ref: BoneLoss, :303-353).
+
+    output/target (N, K, D); joint_parents: K parent indices (root points
+    to itself); target_weight (N, K_nonroot) bone-type weights.
+    """
+    parents = jnp.asarray(joint_parents)
+    non_root = [i for i in range(len(joint_parents)) if joint_parents[i] != i]
+    nr = jnp.asarray(non_root)
+    ob = jnp.linalg.norm(output - output[:, parents], axis=-1)[:, nr]
+    tb = jnp.linalg.norm(target - target[:, parents], axis=-1)[:, nr]
+    if use_target_weight:
+        loss = jnp.mean(jnp.abs((ob * target_weight).mean(axis=0)
+                                - (tb * target_weight).mean(axis=0)))
+    else:
+        loss = jnp.mean(jnp.abs(ob.mean(axis=0) - tb.mean(axis=0)))
+    return loss * loss_weight
