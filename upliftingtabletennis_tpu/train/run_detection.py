@@ -38,6 +38,12 @@ def main(argv=None):
                         "(ref: balldetection/models/segformer_pp.py:57-67)")
     p.add_argument("--init_checkpoint", type=str, default=None,
                    help="explicit warm-start checkpoint path (overrides --pretraining)")
+    p.add_argument("--hf_backbone", type=str, default=None,
+                   help="path to a HuggingFace nvidia/mit-bN torch state dict "
+                        "(.pt/.bin): initializes the SegFormer backbone from "
+                        "ImageNet weights via the golden-tested port "
+                        "(the reference's external-hub init, "
+                        "ref: balldetection/models/segformer_pp.py:12-19)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--num_epochs", type=int, default=None,
@@ -149,6 +155,34 @@ def main(argv=None):
         params = warm["params"]
         batch_stats = warm.get("batch_stats", batch_stats)
         print(f"[init] warm-started from {init_ckpt}")
+    if args.hf_backbone:
+        # ImageNet init for the MiT backbone from a HuggingFace mit-bN
+        # state dict, via the golden-parity-tested port; the first patch
+        # embed is widened to 3*in_frames channels by weight tiling / n
+        # exactly like the reference (ref: segformer_pp.py:32-37)
+        assert "segformer" in args.model, "--hf_backbone needs a segformer model"
+        import torch as _torch
+
+        from upliftingtabletennis_tpu.utils.port_torch import (
+            port_hf_segformer_backbone,
+        )
+
+        sd = _torch.load(args.hf_backbone, map_location="cpu")
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        ported = port_hf_segformer_backbone(sd)
+        n_in = 9 if task == "ball" else 3
+        if n_in != 3:
+            pe0 = ported["patch_embed_0"]["kernel"]
+            ported["patch_embed_0"]["kernel"] = np.tile(
+                pe0, (1, 1, n_in // 3, 1)
+            ) / (n_in // 3)
+        # structure-checked merge: tree.map fails loudly on any mismatch
+        params = dict(params)
+        params["backbone"] = jax.tree.map(
+            lambda a, b: jnp.asarray(b, a.dtype), params["backbone"], ported
+        )
+        print(f"[init] MiT backbone initialized from {args.hf_backbone}")
     params = replicate(mesh, params)
     batch_stats = replicate(mesh, batch_stats)
     ema_params = params
