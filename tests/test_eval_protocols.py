@@ -194,3 +194,30 @@ def test_make_synthetic_ttst_roundtrip(tmp_path):
     m = batch.mask.astype(bool)
     assert batch.r_img[m][:, 0].max() <= G.WIDTH and batch.r_img[m][:, 1].max() <= G.HEIGHT
     assert (batch.r_img[m] >= 0).all()
+
+
+def test_synthetic_tt3d_writer_roundtrip(tmp_path):
+    """make_synthetic_tt3d writes the exact TT3D layout: the reader's
+    reconstructed cameras reproject the stored world points onto the
+    stored (u, v) to sub-pixel for every view."""
+    from upliftingtabletennis_tpu.core.geometry import world2img
+    from upliftingtabletennis_tpu.data.make_synthetic_tt3d import write_synthetic_tt3d
+    from upliftingtabletennis_tpu.data.tt3d import load_tt3d
+
+    n = write_synthetic_tt3d(str(tmp_path), 3, seed=31, modes=("intermediate",))
+    assert n >= 1
+    for view in ("back", "side", "oblique"):
+        b = load_tt3d(str(tmp_path), view, noise=False)
+        T = int(b.mask[0].sum())
+        px = np.asarray(
+            world2img(jnp.asarray(b.r_world[0, :T]), jnp.asarray(b.Mext[0]),
+                      jnp.asarray(b.Mint[0]))
+        )
+        stored = b.r_img[0, :T] * np.array([1920.0, 1080.0])
+        assert np.abs(px - stored).max() < 0.1
+        assert b.framerate[0] > 0
+    # noisy variant differs but only at the detection-noise scale
+    bn = load_tt3d(str(tmp_path), "back", noise=True)
+    b0 = load_tt3d(str(tmp_path), "back", noise=False)
+    d = np.abs(bn.r_img[0] - b0.r_img[0]) * np.array([1920.0, 1080.0])
+    assert 0 < d.max() < 12.0
