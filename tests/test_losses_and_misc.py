@@ -219,3 +219,216 @@ def test_regression_losses_match_reference_torch():
                                 jnp.asarray(bw) if utw else None,
                                 use_target_weight=utw))
         np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_bce_and_combined_target_mse_match_reference_torch():
+    """bce_loss / combined_target_mse_loss vs the vendored torch modules
+    (ref: vit_pose/vit_models/losses/classfication_loss.py BCELoss,
+    mse_loss.py CombinedTargetMSELoss)."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from vit_pose.vit_models.losses.classfication_loss import BCELoss
+    from vit_pose.vit_models.losses.mse_loss import CombinedTargetMSELoss
+
+    rng = np.random.default_rng(11)
+    N, K = 4, 5
+    out = rng.uniform(0.02, 0.98, (N, K)).astype(np.float32)
+    tgt = rng.integers(0, 2, (N, K)).astype(np.float32)
+    for utw, w in ((False, None),
+                   (True, rng.uniform(0.5, 1.5, (N, K)).astype(np.float32)),
+                   (True, rng.uniform(0.5, 1.5, (N,)).astype(np.float32))):
+        ref = BCELoss(use_target_weight=utw, loss_weight=1.3)(
+            torch.tensor(out), torch.tensor(tgt),
+            torch.tensor(w) if utw else None).item()
+        got = float(L.bce_loss(jnp.asarray(out), jnp.asarray(tgt),
+                               jnp.asarray(w) if utw else None,
+                               use_target_weight=utw, loss_weight=1.3))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    J, H, W = 3, 6, 4
+    pred = rng.normal(size=(N, 3 * J, H, W)).astype(np.float32)
+    gt = rng.normal(size=(N, 3 * J, H, W)).astype(np.float32)
+    tw = rng.uniform(0.5, 1.5, (N, J, 1)).astype(np.float32)
+    for utw in (False, True):
+        ref = CombinedTargetMSELoss(use_target_weight=utw, loss_weight=0.7)(
+            torch.tensor(pred), torch.tensor(gt), torch.tensor(tw)).item()
+        got = float(L.combined_target_mse_loss(
+            jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(tw),
+            use_target_weight=utw, loss_weight=0.7))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_mesh_and_gan_losses_match_reference_torch():
+    """Rotation helpers, perspective projection, MeshLoss and GANLoss vs
+    the vendored torch implementations (ref: vit_pose/vit_models/losses/
+    mesh_loss.py)."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from vit_pose.vit_models.losses.mesh_loss import (
+        GANLoss,
+        MeshLoss,
+        batch_rodrigues,
+        perspective_projection,
+        quat_to_rotmat,
+    )
+
+    rng = np.random.default_rng(13)
+    B = 6
+    quat = rng.normal(size=(B, 4)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(L.quat_to_rotmat(jnp.asarray(quat))),
+        quat_to_rotmat(torch.tensor(quat)).numpy(), atol=1e-5)
+    aa = rng.normal(size=(B, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(L.batch_rodrigues(jnp.asarray(aa))),
+        batch_rodrigues(torch.tensor(aa)).numpy(), atol=1e-5)
+
+    # rot6d: the reference's copy is unreachable (missing F import) —
+    # property-test the intended Zhou et al. math instead.
+    R = np.asarray(L.batch_rodrigues(jnp.asarray(aa)))
+    six = R[:, :, :2].reshape(B, 6)
+    R6 = np.asarray(L.rot6d_to_rotmat(jnp.asarray(six)))
+    np.testing.assert_allclose(R6, R, atol=1e-5)
+
+    pts = rng.normal(size=(B, 7, 3)).astype(np.float32)
+    rot = np.asarray(L.batch_rodrigues(jnp.asarray(aa)))
+    tr = rng.normal(size=(B, 3)).astype(np.float32)
+    tr[:, 2] += 6.0
+    fl = rng.uniform(500, 1500, (B,)).astype(np.float32)
+    cc = rng.normal(size=(B, 2)).astype(np.float32) * 100
+    ref_p = perspective_projection(
+        torch.tensor(pts), torch.tensor(rot), torch.tensor(tr),
+        torch.tensor(fl), torch.tensor(cc)).numpy()
+    got_p = np.asarray(L.perspective_projection(
+        jnp.asarray(pts), jnp.asarray(rot), jnp.asarray(tr),
+        jnp.asarray(fl), jnp.asarray(cc)))
+    np.testing.assert_allclose(got_p, ref_p, rtol=1e-4, atol=1e-3)
+
+    K, V = 8, 20
+    output = {
+        "vertices": rng.normal(size=(B, V, 3)).astype(np.float32),
+        "joints_3d": rng.normal(size=(B, K, 3)).astype(np.float32),
+        "camera": np.stack([rng.uniform(0.5, 1.5, B), rng.normal(size=B),
+                            rng.normal(size=B)], -1).astype(np.float32),
+        "pose": np.asarray(L.batch_rodrigues(
+            jnp.asarray(rng.normal(size=(B * 24, 3)).astype(np.float32)))
+        ).reshape(B, 24, 3, 3),
+        "beta": rng.normal(size=(B, 10)).astype(np.float32),
+    }
+    target = {
+        "vertices": rng.normal(size=(B, V, 3)).astype(np.float32),
+        "joints_3d": rng.normal(size=(B, K, 3)).astype(np.float32),
+        "joints_3d_visible": rng.integers(0, 2, (B, K, 1)).astype(np.float32),
+        "joints_2d": rng.uniform(0, 224, (B, K, 2)).astype(np.float32),
+        "joints_2d_visible": rng.integers(0, 2, (B, K, 1)).astype(np.float32),
+        "pose": rng.normal(size=(B, 72)).astype(np.float32),
+        "beta": rng.normal(size=(B, 10)).astype(np.float32),
+        "has_smpl": rng.integers(0, 2, (B,)).astype(np.float32),
+    }
+    weights = dict(joints_2d_loss_weight=1.0, joints_3d_loss_weight=2.0,
+                   vertex_loss_weight=0.5, smpl_pose_loss_weight=3.0,
+                   smpl_beta_loss_weight=0.02)
+    ref_mod = MeshLoss(img_res=224, focal_length=5000, **weights)
+    ref = ref_mod(
+        {k: torch.tensor(v) for k, v in output.items()},
+        {k: torch.tensor(v) for k, v in target.items()})
+    got = L.mesh_loss({k: jnp.asarray(v) for k, v in output.items()},
+                      {k: jnp.asarray(v) for k, v in target.items()},
+                      img_res=224, focal_length=5000, **weights)
+    assert set(got) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(float(got[k]), ref[k].item(),
+                                   rtol=1e-4, atol=1e-5)
+
+    x = rng.normal(size=(B, 1)).astype(np.float32)
+    for gan_type in ("vanilla", "lsgan", "wgan", "hinge"):
+        ref_gan = GANLoss(gan_type, loss_weight=2.0)
+        for real in (True, False):
+            for is_disc in (False, True):
+                r = ref_gan(torch.tensor(x), real, is_disc).item()
+                g = float(L.gan_loss(jnp.asarray(x), real, gan_type,
+                                     loss_weight=2.0, is_disc=is_disc))
+                np.testing.assert_allclose(g, r, rtol=1e-5, atol=1e-6)
+
+
+def test_semi_supervision_and_multistage_losses_match_reference_torch():
+    """semi_supervision_loss / multi_stage_loss vs the vendored torch
+    modules (ref: regression_loss.py SemiSupervisionLoss,
+    multi_loss_factory.py MultiLossFactory)."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from vit_pose.vit_models.losses.multi_loss_factory import MultiLossFactory
+    from vit_pose.vit_models.losses.regression_loss import SemiSupervisionLoss
+
+    rng = np.random.default_rng(17)
+    N, K = 4, 7
+    parents = [0, 0, 1, 2, 0, 4, 5]
+    output = {
+        "labeled_pose": rng.normal(size=(N, K, 3)).astype(np.float32),
+        "unlabeled_pose": rng.normal(size=(N, K, 3)).astype(np.float32),
+        "unlabeled_traj": rng.normal(size=(N, 1, 3)).astype(np.float32),
+    }
+    output["unlabeled_traj"][..., 2] += 5.0
+    for nintr in (4, 9):
+        intr = rng.uniform(0.1, 1.0, (N, nintr)).astype(np.float32)
+        target = {
+            "unlabeled_target_2d": rng.normal(size=(N, K, 2)).astype(np.float32),
+            "intrinsics": intr,
+        }
+        ref_mod = SemiSupervisionLoss(parents, projection_loss_weight=1.5,
+                                      bone_loss_weight=0.8)
+        ref = ref_mod({k: torch.tensor(v) for k, v in output.items()},
+                      {k: torch.tensor(v) for k, v in target.items()})
+        got = L.semi_supervision_loss(
+            {k: jnp.asarray(v) for k, v in output.items()},
+            {k: jnp.asarray(v) for k, v in target.items()},
+            parents, projection_loss_weight=1.5, bone_loss_weight=0.8)
+        for k in ("proj_loss", "bone_loss"):
+            np.testing.assert_allclose(float(got[k]), ref[k].item(),
+                                       rtol=1e-4, atol=1e-5)
+
+    J, H, W, M = 3, 8, 6, 5
+    cfg = dict(num_joints=J, num_stages=2, ae_loss_type="exp",
+               with_ae_loss=[True, False], push_loss_factor=[0.001, 0.001],
+               pull_loss_factor=[0.001, 0.001], with_heatmaps_loss=[True, True],
+               heatmaps_loss_factor=[1.0, 4.0])
+    outputs = [rng.normal(size=(N, 2 * J, H, W)).astype(np.float32),
+               rng.normal(size=(N, J, H, W)).astype(np.float32)]
+    heatmaps = [np.abs(rng.normal(size=(N, J, H, W))).astype(np.float32)
+                for _ in range(2)]
+    masks = [(rng.uniform(size=(N, H, W)) > 0.2).astype(np.float32)
+             for _ in range(2)]
+    joints = []
+    for _ in range(2):
+        j = np.zeros((N, M, J, 2), np.int64)
+        j[..., 0] = rng.integers(0, J * H * W, (N, M, J))
+        j[..., 1] = rng.integers(0, 2, (N, M, J))
+        joints.append(j)
+    ref_mod = MultiLossFactory(**{k: (v if not isinstance(v, tuple) else list(v))
+                                  for k, v in cfg.items()})
+    rh, rpush, rpull = ref_mod(
+        [torch.tensor(o) for o in outputs], [torch.tensor(h) for h in heatmaps],
+        [torch.tensor(m) for m in masks], [torch.tensor(j) for j in joints])
+    gh, gpush, gpull = L.multi_stage_loss(
+        [jnp.asarray(o) for o in outputs], [jnp.asarray(h) for h in heatmaps],
+        [jnp.asarray(m) for m in masks], [jnp.asarray(j) for j in joints],
+        num_joints=J, ae_loss_type="exp", with_ae_loss=(True, False),
+        push_loss_factor=(0.001, 0.001), pull_loss_factor=(0.001, 0.001),
+        with_heatmaps_loss=(True, True), heatmaps_loss_factor=(1.0, 4.0))
+    for r, g in zip(rh, gh):
+        np.testing.assert_allclose(np.asarray(g), r.numpy(), atol=1e-5)
+    for r, g in zip(rpush + rpull, gpush + gpull):
+        if r is None:
+            assert g is None
+        else:
+            np.testing.assert_allclose(np.asarray(g), r.numpy().ravel(),
+                                       atol=1e-5)

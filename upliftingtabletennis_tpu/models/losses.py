@@ -4,8 +4,11 @@ The reference ships a full loss family inside the vendored ViTPose package
 (ref: vit_pose/vit_models/losses/ — JointsMSELoss/JointsOHKMMSELoss in
 mse_loss.py, AdaptiveWingLoss, WingLoss, SoftWingLoss, plus mesh/GAN/AE
 losses specific to human-pose workflows). Only JointsMSELoss is exercised
-by its (dormant) trainer; this module provides the keypoint-relevant subset
-as pure JAX functions usable inside jitted training steps.
+by its (dormant) trainer; this module ports the ENTIRE family as pure JAX
+functions usable inside jitted training steps — heatmap, classification,
+regression, associative-embedding, semi-supervision and mesh/GAN losses —
+each torch-parity-tested against the vendored original
+(tests/test_losses_and_misc.py).
 """
 from __future__ import annotations
 
@@ -272,3 +275,269 @@ def bone_loss(output, target, joint_parents, target_weight=None,
     else:
         loss = jnp.mean(jnp.abs(ob.mean(axis=0) - tb.mean(axis=0)))
     return loss * loss_weight
+
+
+# ---------------------------------------------------------------------------
+# Classification / combined-target losses
+# (ref: vit_pose/vit_models/losses/classfication_loss.py, mse_loss.py:47-92)
+# ---------------------------------------------------------------------------
+
+def bce_loss(output, target, target_weight=None, use_target_weight=False,
+             loss_weight=1.0, eps=1e-12):
+    """Binary cross entropy on probabilities (ref: classfication_loss.py
+    BCELoss). output/target (N, K) in [0, 1]; target_weight (N, K) or (N,)."""
+    o = jnp.clip(output, eps, 1.0 - eps)
+    per = -(target * jnp.log(o) + (1.0 - target) * jnp.log(1.0 - o))
+    if use_target_weight:
+        w = target_weight
+        if w.ndim == 1:
+            w = w[:, None]
+        return jnp.mean(per * w) * loss_weight
+    return jnp.mean(per) * loss_weight
+
+
+def combined_target_mse_loss(output, target, target_weight=None,
+                             use_target_weight=False, loss_weight=1.0):
+    """UDP combined-target MSE: channels come in (heatmap, offset_x,
+    offset_y) triples per joint; offsets are supervised only where the GT
+    response map is live (ref: mse_loss.py CombinedTargetMSELoss:47-92;
+    Huang et al. CVPR 2020). output/target (N, 3*K, H, W)."""
+    N, C = output.shape[:2]
+    K = C // 3
+    p = output.reshape(N, K, 3, -1)
+    t = target.reshape(N, K, 3, -1)
+    hm_p, hm_t = p[:, :, 0], t[:, :, 0]
+    if use_target_weight:
+        w = target_weight.reshape(N, K, 1)
+        hm_p = hm_p * w
+        hm_t = hm_t * w
+    loss = 0.5 * jnp.mean((hm_p - hm_t) ** 2, axis=(0, 2))        # (K,)
+    for a in (1, 2):  # offset maps gated by the (weighted) GT response map
+        loss = loss + 0.5 * jnp.mean(
+            (hm_t * p[:, :, a] - hm_t * t[:, :, a]) ** 2, axis=(0, 2))
+    return jnp.mean(loss) * loss_weight
+
+
+# ---------------------------------------------------------------------------
+# Rotation representations + mesh losses
+# (ref: vit_pose/vit_models/losses/mesh_loss.py)
+# ---------------------------------------------------------------------------
+
+def quat_to_rotmat(quat):
+    """(B, 4) wxyz quaternions -> (B, 3, 3) rotation matrices
+    (ref: mesh_loss.py:44-69)."""
+    q = quat / jnp.linalg.norm(quat, axis=1, keepdims=True)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    w2, x2, y2, z2 = w * w, x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+    return jnp.stack([
+        w2 + x2 - y2 - z2, 2 * xy - 2 * wz, 2 * wy + 2 * xz,
+        2 * wz + 2 * xy, w2 - x2 + y2 - z2, 2 * yz - 2 * wx,
+        2 * xz - 2 * wy, 2 * wx + 2 * yz, w2 - x2 - y2 + z2,
+    ], axis=1).reshape(-1, 3, 3)
+
+
+def batch_rodrigues(theta):
+    """(B, 3) axis-angle -> (B, 3, 3) via the reference's quaternion route
+    (ref: mesh_loss.py:26-41, incl. its +1e-8 norm regularizer)."""
+    l2 = jnp.linalg.norm(theta + 1e-8, axis=1)
+    angle = l2[:, None]
+    normalized = theta / angle
+    half = angle * 0.5
+    quat = jnp.concatenate([jnp.cos(half), jnp.sin(half) * normalized], axis=1)
+    return quat_to_rotmat(quat)
+
+
+def rot6d_to_rotmat(x):
+    """(B, 6) continuous 6D rotation (Zhou et al. CVPR 2019) -> (B, 3, 3).
+
+    The reference's copy (ref: mesh_loss.py:7-23) calls `F.normalize`
+    without importing `torch.nn.functional` — it would NameError if ever
+    reached (the mesh path is dormant). This implements the intended math.
+    """
+    x = x.reshape(-1, 3, 2)
+    a1, a2 = x[:, :, 0], x[:, :, 1]
+    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=1, keepdims=True), 1e-12)
+    a2p = a2 - jnp.sum(b1 * a2, axis=1, keepdims=True) * b1
+    b2 = a2p / jnp.maximum(jnp.linalg.norm(a2p, axis=1, keepdims=True), 1e-12)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack((b1, b2, b3), axis=-1)
+
+
+def perspective_projection(points, rotation, translation, focal_length,
+                           camera_center):
+    """Pinhole projection of (B, N, 3) points (ref: mesh_loss.py:73-110)."""
+    pts = jnp.einsum("bij,bkj->bki", rotation, points) + translation[:, None]
+    pts = pts / pts[:, :, -1:]
+    fx = fy = focal_length
+    x = fx[:, None] * pts[:, :, 0] + camera_center[:, None, 0]
+    y = fy[:, None] * pts[:, :, 1] + camera_center[:, None, 1]
+    return jnp.stack([x, y], axis=-1)
+
+
+def _smooth_l1(a, b):
+    d = jnp.abs(a - b)
+    return jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
+
+
+def mesh_project_points(points_3d, camera, img_res, focal_length=5000.0):
+    """Weak-perspective (scale, tx, ty) camera -> 2D (ref: mesh_loss.py
+    MeshLoss.project_points:211-245)."""
+    B = points_3d.shape[0]
+    cam_t = jnp.stack([
+        camera[:, 1], camera[:, 2],
+        2.0 * focal_length / (img_res * camera[:, 0] + 1e-9),
+    ], axis=-1)
+    rot = jnp.broadcast_to(jnp.eye(3, dtype=points_3d.dtype), (B, 3, 3))
+    f = jnp.full((B,), focal_length, points_3d.dtype)
+    c = jnp.zeros((B, 2), points_3d.dtype)
+    return perspective_projection(points_3d, rot, cam_t, f, c)
+
+
+def mesh_loss(output, target, joints_2d_loss_weight, joints_3d_loss_weight,
+              vertex_loss_weight, smpl_pose_loss_weight, smpl_beta_loss_weight,
+              img_res, focal_length=5000.0):
+    """3D-mesh mixed loss (ref: mesh_loss.py MeshLoss:113-310): L1 vertices +
+    pelvis-centered smooth-L1 3D joints + weak-perspective-reprojected
+    smooth-L1 2D joints (+ MSE on SMPL pose rotmats/betas when predicted),
+    each visibility/has_smpl-gated. `output`/`target` are dicts of arrays
+    with the reference's keys; returns a dict of weighted scalar losses."""
+    losses = {}
+    has_smpl = target["has_smpl"].astype(jnp.float32)
+
+    v_l1 = jnp.abs(output["vertices"] - target["vertices"])
+    losses["vertex_loss"] = (
+        jnp.mean(has_smpl[:, None, None] * v_l1) * vertex_loss_weight)
+
+    if "pose" in output and "beta" in output:
+        gt_rotmat = batch_rodrigues(
+            target["pose"].reshape(-1, 3)).reshape(-1, 24, 3, 3)
+        pose_mse = (output["pose"] - gt_rotmat) ** 2
+        beta_mse = (output["beta"] - target["beta"]) ** 2
+        losses["smpl_pose_loss"] = (
+            jnp.mean(has_smpl[:, None, None, None] * pose_mse)
+            * smpl_pose_loss_weight)
+        losses["smpl_beta_loss"] = (
+            jnp.mean(has_smpl[:, None] * beta_mse) * smpl_beta_loss_weight)
+
+    pred_j3d, gt_j3d = output["joints_3d"], target["joints_3d"]
+    conf3 = target["joints_3d_visible"].astype(jnp.float32)
+    gt_pelvis = (gt_j3d[:, 2] + gt_j3d[:, 3]) / 2.0
+    pred_pelvis = (pred_j3d[:, 2] + pred_j3d[:, 3]) / 2.0
+    losses["joints_3d_loss"] = jnp.mean(
+        conf3 * _smooth_l1(pred_j3d - pred_pelvis[:, None],
+                           gt_j3d - gt_pelvis[:, None])
+    ) * joints_3d_loss_weight
+
+    conf2 = target["joints_2d_visible"].astype(jnp.float32)
+    pred_j2d = mesh_project_points(pred_j3d, output["camera"], img_res,
+                                   focal_length)
+    # pred is centered-origin, gt is top-left-origin; both -> [-1, 1]
+    pred_j2d = 2.0 * pred_j2d / (img_res - 1.0)
+    gt_j2d = 2.0 * target["joints_2d"] / (img_res - 1.0) - 1.0
+    losses["joints_2d_loss"] = jnp.mean(
+        conf2 * _smooth_l1(pred_j2d, gt_j2d)) * joints_2d_loss_weight
+    return losses
+
+
+def gan_loss(x, target_is_real: bool, gan_type: str = "vanilla",
+             real_label_val=1.0, fake_label_val=0.0, loss_weight=1.0,
+             is_disc: bool = False):
+    """GAN objective for the mesh adversary (ref: mesh_loss.py
+    GANLoss:313-402). `loss_weight` applies to the generator only."""
+    target_val = real_label_val if target_is_real else fake_label_val
+    if gan_type == "vanilla":  # BCE with logits
+        t = jnp.full_like(x, target_val)
+        loss = jnp.mean(jnp.maximum(x, 0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x))))
+    elif gan_type == "lsgan":
+        loss = jnp.mean((x - target_val) ** 2)
+    elif gan_type == "wgan":
+        loss = -jnp.mean(x) if target_is_real else jnp.mean(x)
+    elif gan_type == "hinge":
+        if is_disc:
+            loss = jnp.mean(jax.nn.relu(1.0 + (-x if target_is_real else x)))
+        else:
+            loss = -jnp.mean(x)
+    else:
+        raise NotImplementedError(f"GAN type {gan_type} is not implemented.")
+    return loss if is_disc else loss * loss_weight
+
+
+# ---------------------------------------------------------------------------
+# Semi-supervision loss (ref: regression_loss.py SemiSupervisionLoss:356-444)
+# ---------------------------------------------------------------------------
+
+def project_joints(x, intrinsics):
+    """Project (N, K, 3) joints with (N, 4) [f, c] or (N, 9) [f, c, k, p]
+    intrinsics, incl. radial/tangential distortion (ref: :391-419)."""
+    intr = intrinsics[:, None, :]
+    f, c = intr[..., :2], intr[..., 2:4]
+    _x = jnp.clip(x[:, :, :2] / x[:, :, 2:], -1.0, 1.0)
+    if intrinsics.shape[-1] == 9:
+        k, p = intr[..., 4:7], intr[..., 7:9]
+        r2 = jnp.sum(_x**2, axis=-1, keepdims=True)
+        radial = 1.0 + jnp.sum(
+            k * jnp.concatenate((r2, r2**2, r2**3), axis=-1),
+            axis=-1, keepdims=True)
+        tan = jnp.sum(p * _x, axis=-1, keepdims=True)
+        _x = _x * (radial + tan) + p * r2
+    return f * _x + c
+
+
+def semi_supervision_loss(output, target, joint_parents,
+                          projection_loss_weight=1.0, bone_loss_weight=1.0):
+    """Projection + bone consistency on unlabeled data (ref:
+    SemiSupervisionLoss.forward:421-444; Pavllo et al. CVPR 2019).
+
+    The reference's module counts iterations internally and returns `{}`
+    during warmup — stateful and not jittable; here the caller gates the
+    warmup (e.g. `lax.cond(step > warmup, ...)`), matching the documented
+    `warmup_iterations` semantics.
+    """
+    unlabeled_2d = project_joints(
+        output["unlabeled_pose"] + output["unlabeled_traj"],
+        target["intrinsics"])
+    return {
+        "proj_loss": mpjpe_loss(unlabeled_2d, target["unlabeled_target_2d"],
+                                loss_weight=projection_loss_weight),
+        "bone_loss": bone_loss(output["unlabeled_pose"],
+                               output["labeled_pose"], joint_parents,
+                               loss_weight=bone_loss_weight),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Multi-stage bottom-up loss factory
+# (ref: vit_pose/vit_models/losses/multi_loss_factory.py:162-279)
+# ---------------------------------------------------------------------------
+
+def multi_stage_loss(outputs, heatmaps, masks, joints, num_joints,
+                     ae_loss_type="exp", with_ae_loss=(True,),
+                     push_loss_factor=(0.001,), pull_loss_factor=(0.001,),
+                     with_heatmaps_loss=(True,), heatmaps_loss_factor=(1.0,),
+                     supervise_empty=True):
+    """Per-stage heatmap + AE losses for bottom-up models (ref:
+    MultiLossFactory.forward:230-279). `outputs[i]` is (N, C_i, H, W) with
+    the first `num_joints` channels the heatmaps and the rest tag maps.
+    Returns (heatmaps_losses, push_losses, pull_losses) lists with None
+    where a stage's loss is disabled, matching the reference."""
+    hm_losses, push_losses, pull_losses = [], [], []
+    for i, out in enumerate(outputs):
+        offset = 0
+        if with_heatmaps_loss[i]:
+            offset = num_joints
+            hm = bottomup_heatmap_loss(out[:, :num_joints], heatmaps[i],
+                                       masks[i], supervise_empty)
+            hm_losses.append(hm * heatmaps_loss_factor[i])
+        else:
+            hm_losses.append(None)
+        if with_ae_loss[i]:
+            tags = out[:, offset:].reshape(out.shape[0], -1)
+            push, pull = ae_loss(tags, joints[i], ae_loss_type)
+            push_losses.append(push * push_loss_factor[i])
+            pull_losses.append(pull * pull_loss_factor[i])
+        else:
+            push_losses.append(None)
+            pull_losses.append(None)
+    return hm_losses, push_losses, pull_losses
