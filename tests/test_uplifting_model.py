@@ -26,18 +26,20 @@ def _dummy_batch(rng, B=3, T=50):
 
 @pytest.mark.parametrize("size", ["small", "large"])
 @pytest.mark.parametrize(
-    "name,mode",
+    "name,mode,time_rotation",
     [
-        ("connectstage", "dynamic"),
-        ("connectstage", "stacked"),
-        ("multistage", "dynamic"),
-        ("multistage", "originalmethod"),
-        ("singlestage", "dynamic"),
-        ("singlestage", "free"),
-        ("singlestage", "stacked"),
+        ("connectstage", "dynamic", "new"),        # paper "Ours"
+        ("connectstage", "originalmethod", "new"),  # paper "Mixed" (ref README.md:209)
+        ("connectstage", "originalmethod", "old"),  # paper "Kienzle et al." (ref README.md:208)
+        ("connectstage", "stacked", "new"),
+        ("multistage", "dynamic", "new"),
+        ("multistage", "originalmethod", "new"),
+        ("singlestage", "dynamic", "new"),
+        ("singlestage", "free", "new"),
+        ("singlestage", "stacked", "new"),
     ],
 )
-def test_matches_torch_reference(reference_path, name, mode, size):
+def test_matches_torch_reference(reference_path, name, mode, size, time_rotation):
     import sys
 
     sys.path.insert(0, str(reference_path))
@@ -45,7 +47,7 @@ def test_matches_torch_reference(reference_path, name, mode, size):
     from uplifting.model import get_model as ref_get_model
 
     torch.manual_seed(0)
-    ref_model = ref_get_model(name, size, mode=mode, time_rotation="new")
+    ref_model = ref_get_model(name, size, mode=mode, time_rotation=time_rotation)
     ref_model.eval()
 
     rng = np.random.default_rng(42)
@@ -57,7 +59,7 @@ def test_matches_torch_reference(reference_path, name, mode, size):
         )
     ref_rot, ref_pos = ref_rot.numpy(), ref_pos.numpy()
 
-    model = get_uplifting_model(name, size, mode=mode, time_rotation="new")
+    model = get_uplifting_model(name, size, mode=mode, time_rotation=time_rotation)
     params = port_uplifting_state_dict(ref_model.state_dict())
     rot, pos = model.apply(
         {"params": params}, jnp.asarray(ball), jnp.asarray(table), jnp.asarray(mask), jnp.asarray(times)
