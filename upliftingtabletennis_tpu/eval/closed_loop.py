@@ -157,14 +157,22 @@ def train_detectors(store, args):
         opt_state = tx.init(params)
         ema = params
 
+        # Two jitted programs per step, NOT one: the fused
+        # assemble+render+fwd/bwd program exceeds the remote compile
+        # helper's capacity on this host (HTTP 500 / broken pipe — same
+        # limit that pins the pipeline chunk at 8). The extra program
+        # execution costs only the ~4 ms floor.
         @jax.jit
-        def step(params, batch_stats, opt_state, ema, key):
+        def make_batch(key):
             k_data, k_drop = jax.random.split(key)
             images, coords, vis = sample_rendered(k_data, task)
             target = M.render_gaussian_heatmaps(
                 coords[:, :n_pts], vis[:, :n_pts], EVAL_H, EVAL_W, 6.0
             )
+            return images, target, k_drop
 
+        @jax.jit
+        def step(params, batch_stats, opt_state, ema, images, target, k_drop):
             def loss_fn(p):
                 out = model.apply(
                     {"params": p, "batch_stats": batch_stats},
@@ -189,8 +197,9 @@ def train_detectors(store, args):
         t0 = time.perf_counter()
         for it in range(args.train_steps):
             rng, k = jax.random.split(rng)
+            images, target, k_drop = make_batch(k)
             params, batch_stats, opt_state, ema, loss = step(
-                params, batch_stats, opt_state, ema, k
+                params, batch_stats, opt_state, ema, images, target, k_drop
             )
             if it % 50 == 0 or it == args.train_steps - 1:
                 print(f"[{task}] step {it}: loss {float(loss):.4f} "
