@@ -89,3 +89,33 @@ def test_wrappers_shapes():
     v = t.init(jax.random.PRNGKey(0), x1)
     heat = t.apply(v, x1)
     assert heat.shape == (1, 64, 96, 13)
+
+
+def test_remat_matches_no_remat():
+    """Per-block rematerialization (get_detector(..., remat=True)) keeps the
+    identical parameter structure, loss, and gradients (to recompute float
+    reassociation) — it only changes activation memory. Needed to train
+    full-res HRNet/WASB on a 16 GB chip (closed_loop / run_detection)."""
+    from upliftingtabletennis_tpu.models.factory import get_detector
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 32, 48, 9)).astype(np.float32))
+    m0, _ = get_detector("wasb", "ball", train=True, remat=False)
+    m1, _ = get_detector("wasb", "ball", train=True, remat=True)
+    v0 = m0.init(jax.random.PRNGKey(0), x)
+    v1 = m1.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(v0) == jax.tree.structure(v1)
+
+    def loss(params, m, v):
+        out, _ = m.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            x, mutable=["batch_stats"],
+        )
+        heat = out[0] if isinstance(out, tuple) else out
+        return jnp.mean(heat ** 2)
+
+    l0, g0 = jax.value_and_grad(loss)(v0["params"], m0, v0)
+    l1, g1 = jax.value_and_grad(loss)(v1["params"], m1, v1)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)

@@ -101,11 +101,14 @@ def train_detectors(store, args):
     store_j = jax.tree.map(jnp.asarray, store)
     train_idx = jnp.asarray(SYN.split_indices(len(store), "train"))
 
-    def sample_rendered(key, task):
-        """(images, coords_eval, vis) rendered on the fly."""
+    def sample_rendered(key, store_arg, idx_arg, task):
+        """(images, coords_eval, vis) rendered on the fly. The store MUST
+        arrive as a jit argument — closing over the ~GB corpus embeds it
+        as HLO constants and the serialized compile request exceeds the
+        remote compile helper's body limit (HTTP 413)."""
         k_idx, k_b, k_t, k_n = jax.random.split(key, 4)
-        idx = jax.random.choice(k_idx, train_idx, (B,), replace=False)
-        sample = SYN.assemble_batch(k_b, store_j, idx, train=True)
+        idx = jax.random.choice(k_idx, idx_arg, (B,), replace=False)
+        sample = SYN.assemble_batch(k_b, store_arg, idx, train=True)
         r_img = sample["r_img"]            # (B, 50, 2) px in 2560x1440
         mask = sample["mask"]              # (B, 50)
         table_img = sample["table_img"]    # (B, 13, 3)
@@ -145,7 +148,7 @@ def train_detectors(store, args):
     results = {}
     for task in ("ball", "table"):
         model_name = "wasb" if task == "ball" else "hrnet"
-        model, _ = get_detector(model_name, task, train=True)
+        model, _ = get_detector(model_name, task, train=True, remat=True)
         n_ch = 9 if task == "ball" else 3
         n_pts = 1 if task == "ball" else 13
         rng = jax.random.PRNGKey(args.seed + (0 if task == "ball" else 1))
@@ -163,13 +166,16 @@ def train_detectors(store, args):
         # limit that pins the pipeline chunk at 8). The extra program
         # execution costs only the ~4 ms floor.
         @jax.jit
-        def make_batch(key):
+        def make_batch(key, store_arg, idx_arg):
             k_data, k_drop = jax.random.split(key)
-            images, coords, vis = sample_rendered(k_data, task)
+            images, coords, vis = sample_rendered(k_data, store_arg, idx_arg, task)
             target = M.render_gaussian_heatmaps(
                 coords[:, :n_pts], vis[:, :n_pts], EVAL_H, EVAL_W, 6.0
             )
-            return images, target, k_drop
+            # cast HERE, not in the train step: a u8 conv input crashes
+            # XLA's space-to-batch pass on the backprop-filter conv
+            # (select between f32 and u8 pad operands, SIGABRT)
+            return images.astype(jnp.float32), target, k_drop
 
         @jax.jit
         def step(params, batch_stats, opt_state, ema, images, target, k_drop):
@@ -197,7 +203,7 @@ def train_detectors(store, args):
         t0 = time.perf_counter()
         for it in range(args.train_steps):
             rng, k = jax.random.split(rng)
-            images, target, k_drop = make_batch(k)
+            images, target, k_drop = make_batch(k, store_j, train_idx)
             params, batch_stats, opt_state, ema, loss = step(
                 params, batch_stats, opt_state, ema, images, target, k_drop
             )
@@ -235,6 +241,10 @@ def evaluate_pipeline(store, ckpts, args):
 
     store_j = jax.tree.map(jnp.asarray, store)
     test_idx = SYN.split_indices(len(store), "test")[: args.n_eval]
+    # jit with the store as an ARGUMENT (eager per-rally assembly dispatches
+    # hundreds of ops through the per-program floor; closure would embed the
+    # corpus as HLO constants — see sample_rendered)
+    assemble_j = jax.jit(lambda k, s, i: SYN.assemble_batch(k, s, i, train=True))
     pipe = _pipeline_from(
         ckpts["ball"], ckpts["table"], args.uplifting_checkpoint, tuple(args.render_res)
     )
@@ -244,8 +254,8 @@ def evaluate_pipeline(store, ckpts, args):
     n_valid_frames = 0
     for j, ti in enumerate(test_idx):
         key = jax.random.PRNGKey(10_000 + int(ti))
-        sample = SYN.assemble_batch(
-            key, store_j, jnp.asarray([int(ti)]), train=True
+        sample = assemble_j(
+            key, store_j, jnp.asarray([int(ti)])
         )  # train=True samples a fresh camera; key is fixed per rally
         mask = np.asarray(sample["mask"][0])
         T = int(mask.sum())

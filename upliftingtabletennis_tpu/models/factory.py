@@ -26,11 +26,14 @@ TABLE_MODELS = ("segformerpp_b0", "segformerpp_b2", "vitpose", "hrnet")
 
 
 def get_detector(name: str, task: str = "ball", in_frames: int = None, train: bool = False,
-                 classify_invisible: bool = False):
+                 classify_invisible: bool = False, remat: bool = False):
     """Build a detector. Returns (model, (W, H) native resolution).
 
     task 'ball': 3-frame input, 1 heatmap channel (ref: balldetection).
     task 'table': 1-frame input, 13 channels (ref: tabledetection).
+    remat: per-block rematerialization for the HRNet family — identical
+    params/outputs, ~10x lower activation memory in fwd+bwd (needed to
+    train full-res HRNet on a 16 GB chip).
     """
     assert task in ("ball", "table")
     out_channels = 1 if task == "ball" else 13
@@ -44,10 +47,10 @@ def get_detector(name: str, task: str = "ball", in_frames: int = None, train: bo
         model = VitPoseNet(out_channels, frames, "small", train=train)
     elif name == "wasb":
         assert task == "ball"
-        model = WASBNet(frames, train)
+        model = WASBNet(frames, train, remat)
     elif name == "hrnet":
         assert task == "table"
-        model = TableHRNet(13, train)
+        model = TableHRNet(13, train, remat)
     else:
         raise ValueError(f"unknown detector {name!r}")
     return model, res

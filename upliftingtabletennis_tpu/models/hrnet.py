@@ -101,10 +101,13 @@ class HighResolutionModule(nn.Module):
     num_inchannels: Sequence[int]
     num_channels: Sequence[int]
     train: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, xs: List[jnp.ndarray]) -> List[jnp.ndarray]:
         blk = BasicBlock if self.block == "BASIC" else Bottleneck
+        if self.remat:
+            blk = nn.remat(blk)
         expansion = 1 if self.block == "BASIC" else 4
         out_ch = [c * expansion for c in self.num_channels]
 
@@ -172,6 +175,9 @@ class HRNet(nn.Module):
     in_frames: int = 1
     cfg: Any = None
     train: bool = False
+    remat: bool = False  # per-block rematerialization: same params, ~10x
+    # less activation memory in fwd+bwd (full-res HRNet training OOMs a
+    # 16 GB chip without it; inference is unaffected)
 
     @nn.compact
     def __call__(self, x):
@@ -188,6 +194,8 @@ class HRNet(nn.Module):
         # stage 1 (ref: _make_layer, wasb.py:398-413)
         s1 = cfg["stage1"]
         blk = Bottleneck if s1["block"] == "BOTTLENECK" else BasicBlock
+        if self.remat:
+            blk = nn.remat(blk)
         expansion = 4 if s1["block"] == "BOTTLENECK" else 1
         planes = s1["num_channels"][0]
         inplanes = cfg["stem_inplanes"]
@@ -226,6 +234,7 @@ class HRNet(nn.Module):
                 tuple(cur_channels),
                 scfg["num_channels"],
                 train,
+                self.remat,
                 name=f"{stage_name}_0",
             )(xs)
             prev_channels = cur_channels
@@ -244,10 +253,12 @@ class WASBNet(nn.Module):
 
     in_frames: int = 3
     train: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
-        heat, feats = HRNet(3, self.in_frames, None, self.train, name="model")(x)
+        heat, feats = HRNet(3, self.in_frames, None, self.train, self.remat,
+                            name="model")(x)
         return heat[..., 1:2], None  # middle of the 3 output frames
 
 
@@ -257,8 +268,10 @@ class TableHRNet(nn.Module):
 
     num_keypoints: int = 13
     train: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
-        heat, _ = HRNet(self.num_keypoints, 1, None, self.train, name="model")(x)
+        heat, _ = HRNet(self.num_keypoints, 1, None, self.train, self.remat,
+                        name="model")(x)
         return heat

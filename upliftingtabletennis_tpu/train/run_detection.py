@@ -88,7 +88,7 @@ def main(argv=None):
     from upliftingtabletennis_tpu.utils.checkpoint import save_checkpoint
 
     task = args.task
-    model, (MW, MH) = get_detector(args.model, task, train=True)
+    model, (MW, MH) = get_detector(args.model, task, train=True, remat=True)
     eval_model, _ = get_detector(args.model, task, train=False)
     if args.resolution:
         MW, MH = args.resolution
