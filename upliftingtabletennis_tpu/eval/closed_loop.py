@@ -329,8 +329,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data_dir", type=str, default=None)
     p.add_argument("--out", type=str, default="artifacts/closed_loop")
-    p.add_argument("--train_steps", type=int, default=600)
-    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--train_steps", type=int, default=1200)
+    p.add_argument("--batch_size", type=int, default=2,
+                   help="2 fits the remat-trained full-res HRNets in 16 GB "
+                        "HBM; batch 4 needs ~24 GB even with remat")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--n_eval", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
