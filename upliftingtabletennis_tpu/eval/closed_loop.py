@@ -91,6 +91,7 @@ def train_detectors(store, args):
     import optax
 
     from upliftingtabletennis_tpu.data import synthetic as SYN
+    from upliftingtabletennis_tpu.data.image_transforms import normalize_image
     from upliftingtabletennis_tpu.data.render_rally import render_frames, rescale_px
     from upliftingtabletennis_tpu.core.geometry import WIDTH as UPL_W, HEIGHT as UPL_H
     from upliftingtabletennis_tpu.eval import metrics as M
@@ -172,10 +173,14 @@ def train_detectors(store, args):
             target = M.render_gaussian_heatmaps(
                 coords[:, :n_pts], vis[:, :n_pts], EVAL_H, EVAL_W, 6.0
             )
-            # cast HERE, not in the train step: a u8 conv input crashes
-            # XLA's space-to-batch pass on the backprop-filter conv
-            # (select between f32 and u8 pad operands, SIGABRT)
-            return images.astype(jnp.float32), target, k_drop
+            # Normalize EXACTLY like the inference pipeline (resize->
+            # ImageNet normalize, interface.py) — the detectors trained
+            # here are consumed by that pipeline, so raw-pixel training
+            # inputs would be out of distribution at eval. Casting/
+            # normalizing here (not in the train step) also dodges an XLA
+            # space-to-batch crash on u8 conv inputs (select between f32
+            # and u8 pad operands, SIGABRT).
+            return normalize_image(images.astype(jnp.float32)), target, k_drop
 
         @jax.jit
         def step(params, batch_stats, opt_state, ema, images, target, k_drop):
