@@ -464,14 +464,39 @@ def _generate_compacted_core(key, n: int, mode_id, sign_x, max_keep: int):
     return out
 
 
+def _sharded_compacted_core(mesh, n_per_dev: int, max_keep: int):
+    """shard_map'd variant of _generate_compacted_core over the mesh's 'dp'
+    axis: every device simulates + validates + compacts its own candidate
+    batch from its own key — datagen is embarrassingly parallel, so the
+    only collective is the output stacking XLA emits for the (D, ...)
+    result (ref parallel model: seed-sharded multiprocessing.Pool,
+    mujocosimulation.py:222-238; here chips replace processes)."""
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    def one_device(keys, mode_id, sign_x):
+        cand = _generate_compacted_core(keys[0], n_per_dev, mode_id, sign_x,
+                                        max_keep)
+        return jax.tree.map(lambda a: a[None], cand)
+
+    return jax.jit(shard_map(
+        one_device, mesh=mesh,
+        in_specs=(P("dp"), P(), P()),
+        out_specs=P("dp"),
+    ))
+
+
 def generate_dataset(key, num_trajectories: int, mode: str, direction: str,
-                     batch: int = 4096, max_seconds: float = 0.0):
+                     batch: int = 4096, max_seconds: float = 0.0, mesh=None):
     """Keep sampling batches until `num_trajectories` accepted (host loop).
 
     Returns numpy arrays truncated/stacked to num_trajectories, mirroring the
     reference's quota loop (ref: get_valid_trajectories, :222-238).
     max_seconds > 0 bounds wall time and returns what was accepted so far
     (rare modes: final_win is ~0.2% acceptance even in reference MuJoCo).
+    mesh: optional ('dp', ...) jax.sharding.Mesh — each device of the dp
+    axis simulates `batch` candidates per iteration from its own PRNG key.
     """
     import time as _time
 
@@ -481,19 +506,34 @@ def generate_dataset(key, num_trajectories: int, mode: str, direction: str,
     max_keep = max(batch // 8, 64)  # acceptance rates are a few percent
     mode_id = jnp.asarray(_MODE_ID[mode], jnp.int32)
     sign_x = jnp.asarray(1.0 if direction == "left_to_right" else -1.0)
+    n_dev = int(mesh.shape["dp"]) if mesh is not None else 1
+    sharded_core = (
+        _sharded_compacted_core(mesh, batch, max_keep) if mesh is not None else None
+    )
     t0 = None  # started after the first batch: compile time is not budget
     while total < num_trajectories:
         if max_seconds and t0 is not None and (_time.perf_counter() - t0) > max_seconds:
             break  # out lists hold >= 1 (possibly 0-row) arrays after a batch
         key, sub = jax.random.split(key)
-        cand = _generate_compacted_core(sub, batch, mode_id, sign_x, max_keep)
+        if mesh is not None:
+            cand = sharded_core(jax.random.split(sub, n_dev), mode_id, sign_x)
+        else:
+            cand = _generate_compacted_core(sub, batch, mode_id, sign_x, max_keep)
         if t0 is None:
             t0 = _time.perf_counter()
-        n_acc = int(np.asarray(cand["n_accepted"]))
-        times = np.asarray(cand["times"])
-        for k in out:
-            out[k].append(np.asarray(cand[k])[:n_acc])
-        total += n_acc
+        if mesh is not None:
+            n_accs = np.asarray(cand["n_accepted"])
+            times = np.asarray(cand["times"])[0]
+            for k in out:
+                host = np.asarray(cand[k])
+                out[k].extend(host[d, : int(n_accs[d])] for d in range(n_dev))
+            total += int(n_accs.sum())
+        else:
+            n_acc = int(np.asarray(cand["n_accepted"]))
+            times = np.asarray(cand["times"])
+            for k in out:
+                out[k].append(np.asarray(cand[k])[:n_acc])
+            total += n_acc
     res = {k: np.concatenate(v)[:num_trajectories] for k, v in out.items()}
     res["times"] = times
     return res

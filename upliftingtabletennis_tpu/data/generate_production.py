@@ -48,12 +48,23 @@ def main(argv=None):
                    help="comma-separated modes the time cap applies to "
                         "(final_win acceptance is ~0.2%% even in the "
                         "reference MuJoCo engine)")
+    p.add_argument("--dp", action="store_true",
+                   help="shard each candidate batch over all visible devices "
+                        "('dp' mesh axis; every chip simulates --batch "
+                        "candidates per iteration from its own key)")
     args = p.parse_args(argv)
 
     import jax
 
     from upliftingtabletennis_tpu.data import datagen as DG
     from upliftingtabletennis_tpu.data import synthetic as SYN
+
+    mesh = None
+    if args.dp and len(jax.devices()) > 1:
+        from upliftingtabletennis_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"[mesh] datagen sharded over {mesh.shape['dp']} devices", flush=True)
 
     only = set(args.modes.split(",")) if args.modes else None
     key = jax.random.PRNGKey(args.seed)
@@ -73,7 +84,7 @@ def main(argv=None):
             cap = (args.max_seconds_per_shard
                    if mode in args.capped_modes.split(",") else 0.0)
             res = DG.generate_dataset(sub, n, mode, direction, batch=args.batch,
-                                      max_seconds=cap)
+                                      max_seconds=cap, mesh=mesh)
             store = SYN.store_from_datagen(res)
             SYN.save_store_npz(out, store)
             dt = time.perf_counter() - t0
