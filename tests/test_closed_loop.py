@@ -28,6 +28,25 @@ def test_closed_loop_protocol(tmp_path):
     assert (tmp_path / "table_detector").exists()
 
 
+def test_ema_debiasing_exact_for_constant_params():
+    """Regression for the stale-EMA bug: with the old params-initialized EMA,
+    decay**t of the RANDOM init stayed blended into the saved weights (30%
+    at 1200 steps). The zero-init + debias scheme recovers constant params
+    EXACTLY at any step count."""
+    import jax
+    import jax.numpy as jnp
+
+    p = {"w": jnp.asarray([1.5, -2.0]), "b": jnp.asarray(0.25)}
+    for t in (1, 3, 50):
+        ema = jax.tree.map(jnp.zeros_like, p)
+        for _ in range(t):
+            ema = CL.ema_update(ema, p)
+        out = CL.ema_finalize(ema, t)
+        for k in p:
+            np.testing.assert_allclose(np.asarray(out[k]), np.asarray(p[k]),
+                                       rtol=1e-5)
+
+
 def test_render_rally_shapes_and_determinism():
     import jax
     import jax.numpy as jnp

@@ -40,6 +40,44 @@ def test_fused_attention_matches_reference():
                                    atol=3e-4, rtol=3e-4)
 
 
+def test_fused_attention_trainable_gradient_parity():
+    """The recompute-backward wrapper must yield the same gradients as
+    autodiff through the unfused formulation (requirement for putting
+    detector training on the fused attention path)."""
+    from upliftingtabletennis_tpu.ops.fused_attention import (
+        fused_attention_block_trainable,
+    )
+
+    rng = np.random.default_rng(2)
+    B, H, W, C, heads, Nkv = 1, 8, 4, 16, 2, 6
+    hd = C // heads
+    x = jnp.asarray(rng.normal(size=(B, H * W, C)), jnp.float32)
+    args = (
+        jnp.asarray(rng.normal(1, 0.1, (C,)), jnp.float32),       # gamma
+        jnp.asarray(rng.normal(0, 0.1, (C,)), jnp.float32),       # beta
+        jnp.asarray(rng.normal(0, 0.1, (C, C)), jnp.float32),     # wq
+        jnp.asarray(rng.normal(0, 0.1, (C,)), jnp.float32),       # bq
+        jnp.asarray(rng.normal(size=(B, Nkv, heads, hd)), jnp.float32),  # k
+        jnp.asarray(rng.normal(size=(B, Nkv, heads, hd)), jnp.float32),  # v
+        jnp.asarray(rng.normal(0, 0.1, (C, C)), jnp.float32),     # wp
+        jnp.asarray(rng.normal(0, 0.1, (C,)), jnp.float32),       # bp
+    )
+
+    def loss_fused(x, *a):
+        return jnp.sum(
+            jnp.sin(fused_attention_block_trainable(H, W, heads, True, x, *a))
+        )
+
+    def loss_ref(x, *a):
+        return jnp.sum(jnp.sin(reference(x, heads, *a)))
+
+    gf = jax.grad(loss_fused, argnums=tuple(range(9)))(x, *args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(9)))(x, *args)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=3e-4)
+
+
 def test_fused_block_in_segformer_cpu_parity():
     """MiTBlock's fused branch is TPU-gated; emulate by calling the fused
     math directly against the flax module output for a full block."""

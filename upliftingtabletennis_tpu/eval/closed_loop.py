@@ -33,6 +33,27 @@ import time
 import numpy as np
 
 EVAL_W, EVAL_H = 1920, 1080  # pipeline working space (interface.py:38)
+EMA_DECAY = 0.999
+
+
+def ema_update(ema, params, decay=EMA_DECAY):
+    """One step of a ZERO-initialized EMA (finalize with ema_finalize)."""
+    import jax
+
+    return jax.tree.map(lambda e, q: decay * e + (1.0 - decay) * q, ema, params)
+
+
+def ema_finalize(ema, n_steps, decay=EMA_DECAY):
+    """Debias a zero-init EMA: for constant params p the result is exactly p
+    at ANY step count. Initializing the EMA at the random init instead (the
+    long-run trainers' pattern) leaves decay**n_steps of the RANDOM weights
+    blended into the saved detector (30% at 1200 steps) — weight-averaging
+    with noise, which wrecked eval in the first closed-loop chip run while
+    the printed raw-param loss looked converged."""
+    import jax
+
+    bias_corr = 1.0 - decay ** n_steps
+    return jax.tree.map(lambda e: e / bias_corr, ema)
 
 
 def _load_store(data_dir, modes=("intermediate",)):
@@ -159,7 +180,7 @@ def train_detectors(store, args):
         batch_stats = variables.get("batch_stats", {})
         tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(args.lr))
         opt_state = tx.init(params)
-        ema = params
+        ema = jax.tree.map(jnp.zeros_like, params)  # see ema_finalize
 
         # Two jitted programs per step, NOT one: the fused
         # assemble+render+fwd/bwd program exceeds the remote compile
@@ -202,7 +223,7 @@ def train_detectors(store, args):
             (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            ema = jax.tree.map(lambda e, q: 0.999 * e + 0.001 * q, ema, params)
+            ema = ema_update(ema, params)
             return params, new_state.get("batch_stats", batch_stats), opt_state, ema, loss
 
         t0 = time.perf_counter()
@@ -218,6 +239,7 @@ def train_detectors(store, args):
 
         from upliftingtabletennis_tpu.utils.checkpoint import save_checkpoint
 
+        ema = ema_finalize(ema, args.train_steps)
         ckpt = os.path.join(args.out, f"{task}_detector")
         tree = {"params": jax.device_get(ema)}
         if batch_stats:

@@ -152,11 +152,11 @@ class MiTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, H, W):
-        # The attention kernel is inference-only (no VJP); the FFN kernel is
-        # differentiable via recompute-backward (fused_ln_ffn_trainable), so
-        # detector training also runs the fused FFN path.
+        # Both half-block kernels are differentiable via recompute-backward
+        # wrappers (fused_ln_ffn_trainable / fused_attention_block_trainable),
+        # so detector training runs the full fused path too.
         fused_ok = jax.default_backend() == "tpu" and H % 4 == 0
-        use_fused = fused_ok and not self.train
+        use_fused = fused_ok
         use_fused_ffn = fused_ok
         if use_fused and self.tome_ratio == 0.0:
             # fused LN1+q-proj+attention+out-proj+residual kernel
@@ -168,7 +168,7 @@ class MiTBlock(nn.Module):
             p1 = self.get_variable("params", "norm1")
             pa = self.get_variable("params", "attn")
             from upliftingtabletennis_tpu.ops.fused_attention import (
-                fused_attention_block,
+                fused_attention_block_trainable,
             )
 
             dt = x.dtype
@@ -196,8 +196,8 @@ class MiTBlock(nn.Module):
                 kv_in = y
             kv = (kv_in @ pa["kv"]["kernel"].astype(dt)
                   + pa["kv"]["bias"].astype(dt)).reshape(B, -1, 2, h, hd)
-            x = fused_attention_block(
-                x, H, W, h,
+            x = fused_attention_block_trainable(
+                H, W, h, False, x,
                 p1["scale"].astype(dt), p1["bias"].astype(dt),
                 pa["q"]["kernel"].astype(dt), pa["q"]["bias"].astype(dt),
                 kv[:, :, 0], kv[:, :, 1],

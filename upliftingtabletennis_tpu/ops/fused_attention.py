@@ -13,8 +13,11 @@ Per (batch, row-tile) grid cell: LN over C -> q = y Wq + bq -> per-head
 softmax(q k^T / sqrt(hd)) v with -inf masking of K/V padding -> concat
 heads -> Wproj + bproj -> + x. Logits/softmax in f32.
 
-Inference-only (no autodiff rule); MiTBlock gates it off during training.
-Parity: tests/test_fused_attention.py (interpret) + on-chip A/B.
+Training runs the same kernel through `fused_attention_block_trainable`
+(custom VJP, recompute backward — the fused_ffn.py pattern), so the
+SegFormer attention half-block is on the fused path in BOTH modes.
+Parity: tests/test_fused_attention.py (interpret, values + gradients)
++ on-chip A/B.
 """
 from __future__ import annotations
 
@@ -25,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_attention_block"]
+__all__ = ["fused_attention_block", "fused_attention_block_trainable"]
 
 
 def _kernel(x_ref, g_ref, b_ref, wq_ref, bq_ref, k_ref, v_ref, wp_ref,
@@ -139,3 +142,66 @@ def fused_attention_block(x, H: int, W: int, heads: int, gamma, beta, wq, bq,
     )(xp, gamma.reshape(1, C), beta.reshape(1, C), wq, bq.reshape(1, C),
       kt, vt, wp, bp.reshape(1, C))
     return out[:, :N]
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: fused forward kernel + recompute backward
+# (the ops/fused_ffn.py pattern)
+# ---------------------------------------------------------------------------
+
+def _ref_attention_block(x, gamma, beta, wq, bq, k, v, wp, bp, heads,
+                         eps=1e-6):
+    """Pure-jnp mirror of the kernel (same casts: LN/logits/softmax and the
+    matmul accumulations in f32, operands in x.dtype), used to derive the
+    backward pass by recomputation. k, v (B, Nkv, heads, hd)."""
+    B, N, C = x.shape
+    hd = C // heads
+    scale = hd ** -0.5
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = jnp.square(xf - mean).mean(-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = (y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)).astype(x.dtype)
+    q = jnp.dot(y, wq, preferred_element_type=jnp.float32) + bq.astype(jnp.float32)
+    q = q.astype(x.dtype).reshape(B, N, heads, hd)
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k.astype(x.dtype),
+                        preferred_element_type=jnp.float32) * scale
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+    o = jnp.einsum("bhnm,bmhd->bnhd", w, v.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    o = o.astype(x.dtype).reshape(B, N, C)
+    out = jnp.dot(o, wp, preferred_element_type=jnp.float32) + bp.astype(jnp.float32)
+    return (xf + out).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def fused_attention_block_trainable(H, W, heads, interpret, x, gamma, beta,
+                                    wq, bq, k, v, wp, bp):
+    """Differentiable fused attention half-block: Pallas forward, recompute
+    backward through `_ref_attention_block` (flash-attention-style remat —
+    the (N, Nkv) attention weights are never stored). With this and
+    fused_ln_ffn_trainable, detector TRAINING runs the full fused MiTBlock
+    path (round-1/2 gating was inference-only for attention)."""
+    return fused_attention_block(x, H, W, heads, gamma, beta, wq, bq, k, v,
+                                 wp, bp, interpret=interpret)
+
+
+def _fused_attention_fwd(H, W, heads, interpret, x, gamma, beta, wq, bq,
+                         k, v, wp, bp):
+    out = fused_attention_block(x, H, W, heads, gamma, beta, wq, bq, k, v,
+                                wp, bp, interpret=interpret)
+    return out, (x, gamma, beta, wq, bq, k, v, wp, bp)
+
+
+def _fused_attention_bwd(H, W, heads, interpret, res, g):
+    x, *params = res
+    _, vjp = jax.vjp(
+        lambda x_, *p: _ref_attention_block(x_, *p, heads=heads), x, *params
+    )
+    return vjp(g.astype(x.dtype))
+
+
+fused_attention_block_trainable.defvjp(_fused_attention_fwd,
+                                       _fused_attention_bwd)
