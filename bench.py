@@ -269,7 +269,39 @@ def torch_cpu_wasb_fps():
         return None
 
 
+def wait_for_tpu(max_wait_s=900):
+    """The tunneled chip has transient multi-minute outages (backend init
+    raises UNAVAILABLE). Probe in a SUBPROCESS — an in-process init failure
+    can stick to the jax backend cache — and give the tunnel up to
+    max_wait_s to come back before running the bench. Returns True when a
+    probe matmul round-trips; on timeout the bench proceeds anyway and
+    fails with the real backend error (no JSON is printed — an honest
+    no-measurement beats a fabricated one)."""
+    import subprocess
+    import sys
+
+    probe = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "x = jnp.ones((128, 128)); np.asarray(jnp.ravel(x @ x)[:1])"
+    )
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", probe], timeout=300,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return True
+        if time.time() > deadline:
+            return False
+        time.sleep(60)
+
+
 def main():
+    wait_for_tpu()
     fps, breakdown = pipeline_fps()
     ratio = uplifting_ratio_vs_torch_cpu()
     breakdown["datagen_trajectories_per_sec"] = datagen_tps()
