@@ -113,7 +113,10 @@ def pipeline_fps(iters=3, T=33):
     pipe.calibrate_camera(table)
     t_calib = time.perf_counter() - t0
 
-    # video-native ingest: planar YUV 4:2:0 halves host->device bytes
+    # video-native ingest: planar YUV 4:2:0 halves host->device bytes, and
+    # the default upload_res="model" host-downscale (1920x1080 -> 1600x896,
+    # -31% bytes/frame) trims them further — both attack the same
+    # tunnel-limited link (PERF.md "End-to-end budget")
     from upliftingtabletennis_tpu.data.image_transforms import rgb_to_i420
 
     frames_i420 = rgb_to_i420(frames)
@@ -126,16 +129,29 @@ def pipeline_fps(iters=3, T=33):
         ts.append(time.perf_counter() - t0)
     fps_i420 = T / float(np.median(ts))
 
+    # same ingest WITHOUT the host downscale (the pre-round-2 definition,
+    # kept for round-over-round comparability)
+    pipe.predict(frames_i420, fps=50, pixel_format="i420", upload_res=None)
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        pipe.predict(frames_i420, fps=50, pixel_format="i420", upload_res=None)
+        pipe.calibrate_camera(table)
+        ts.append(time.perf_counter() - t0)
+    fps_i420_fullres = T / float(np.median(ts))
+
     breakdown = {
         "rgb_frames_per_sec": round(fps, 2),
         "i420_frames_per_sec": round(fps_i420, 2),
+        "i420_fullres_upload_frames_per_sec": round(fps_i420_fullres, 2),
         "compute_frames_per_sec": round(compute_fps, 2),
         "link_MBps": round(link, 1),
         "calibrate_s": round(t_calib, 2),
         "frames_per_rally": T,
     }
     # headline = video-native ingest (decoders emit YUV; i420 halves the
-    # host->device bytes of the tunnel-limited link)
+    # host->device bytes of the tunnel-limited link) through the pipeline's
+    # default upload path (host downscale to model res)
     return fps_i420, breakdown
 
 
@@ -311,7 +327,7 @@ def main():
             {
                 "metric": "full_pipeline_frames_per_sec",
                 "value": round(fps, 2),
-                "unit": "video frames/sec/chip (1920x1080 i420 host frames, video-native ingest; b2+wasb ball, b2+hrnet table, uplifting-large, RANSAC calib; bf16)",
+                "unit": "video frames/sec/chip (1920x1080 i420 host frames, host downscale to model res + video-native ingest; b2+wasb ball, b2+hrnet table, uplifting-large, RANSAC calib; bf16)",
                 # the reference cannot run its GPU pipeline on this host;
                 # vs_baseline is an explicitly-labeled PROXY ratio, not the
                 # 10x-vs-GPU north star (see module docstring)

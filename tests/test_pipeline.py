@@ -177,3 +177,78 @@ def test_pipeline_uint8_stride_and_i420_paths():
     out_i420 = pipe.run_rally(rgb_to_i420(frames), fps=50, pixel_format="i420")
     assert out_i420["table"].shape == (13, 3)
     assert out_i420["ball"].shape[1:] == (2,)
+
+
+def test_host_downscale_matches_device_resize():
+    """cv2 INTER_LINEAR (the host downscale) and jax.image.resize with
+    antialias=False (the on-device resize) implement the same half-pixel
+    bilinear — uploading pre-downscaled frames only reorders the existing
+    resampling chain. Tolerance 1 for uint8 rounding."""
+    import jax.image
+
+    from upliftingtabletennis_tpu.data.image_transforms import host_downscale, rgb_to_i420
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 255, (2, 128, 192, 3), dtype=np.uint8)
+    ours = host_downscale(frames, (96, 64))
+    ref = np.asarray(
+        jax.image.resize(frames.astype(np.float32), (2, 64, 96, 3), "bilinear", antialias=False)
+    )
+    assert np.abs(ours.astype(np.float32) - ref).max() <= 1.0
+
+    # i420: planar layout is preserved and planes resize independently
+    fi = rgb_to_i420(frames)
+    di = host_downscale(fi, (96, 64), pixel_format="i420")
+    assert di.shape == (2, 96, 96)  # 64 * 3 // 2 rows
+    y_ref = np.asarray(
+        jax.image.resize(
+            fi[:, :128].astype(np.float32), (2, 64, 96), "bilinear", antialias=False
+        )
+    )
+    assert np.abs(di[:, :64].astype(np.float32) - y_ref).max() <= 1.0
+
+
+def test_upload_res_equals_predownscaled_frames():
+    """run_rally's upload_res path must equal feeding host-downscaled frames
+    directly (identical device inputs), for RGB and i420, and the default
+    "model" target must resolve to the largest detector resolution."""
+    from upliftingtabletennis_tpu.data.image_transforms import host_downscale, rgb_to_i420
+    from upliftingtabletennis_tpu.pipeline.interface import (
+        BallDetector,
+        TableDetector,
+        TableTennisPipeline,
+        UpliftingModel,
+    )
+
+    pipe = TableTennisPipeline.__new__(TableTennisPipeline)
+    pipe.ball_detector = BallDetector("wasb", chunk=4, resolution=(96, 64))
+    pipe.ball_detector_aux = BallDetector("wasb", chunk=4, resolution=(96, 64))
+    pipe.table_detector = TableDetector("hrnet", chunk=4, resolution=(96, 64))
+    pipe.table_detector_aux = TableDetector("hrnet", chunk=4, resolution=(96, 64))
+    pipe.uplifting_model = UpliftingModel(name="connectstage", size="small")
+    pipe.KEYPOINT_VISIBLE = 1
+
+    rng = np.random.default_rng(13)
+    frames = rng.integers(0, 255, (9, 128, 192, 3), dtype=np.uint8)
+
+    out_auto = pipe.run_rally(frames, fps=50)  # default upload_res="model"
+    out_explicit = pipe.run_rally(frames, fps=50, upload_res=(96, 64))
+    out_pre = pipe.run_rally(host_downscale(frames, (96, 64)), fps=50, upload_res=None)
+    np.testing.assert_array_equal(out_auto["ball"], out_explicit["ball"])
+    np.testing.assert_array_equal(out_auto["ball"], out_pre["ball"])
+    np.testing.assert_array_equal(out_auto["table"], out_pre["table"])
+
+    fi = rgb_to_i420(frames)
+    out_i = pipe.run_rally(fi, fps=50, pixel_format="i420")
+    out_i_pre = pipe.run_rally(
+        host_downscale(fi, (96, 64), pixel_format="i420"), fps=50,
+        pixel_format="i420", upload_res=None,
+    )
+    np.testing.assert_array_equal(out_i["ball"], out_i_pre["ball"])
+    np.testing.assert_array_equal(out_i["table"], out_i_pre["table"])
+
+    # frames at/below model resolution upload untouched
+    small = rng.integers(0, 255, (9, 64, 96, 3), dtype=np.uint8)
+    out_small = pipe.run_rally(small, fps=50)
+    out_small_off = pipe.run_rally(small, fps=50, upload_res=None)
+    np.testing.assert_array_equal(out_small["ball"], out_small_off["ball"])

@@ -319,3 +319,53 @@ def rgb_to_i420(frames_rgb: "np.ndarray") -> "np.ndarray":
     out[:, H : H + H // 4] = np.clip(np.round(u2), 0, 255).reshape(T, H // 4, W)
     out[:, H + H // 4 :] = np.clip(np.round(v2), 0, 255).reshape(T, H // 4, W)
     return out
+
+
+def host_downscale(frames: "np.ndarray", dst_wh, pixel_format: str = "rgb"):
+    """Host-side (cv2) bilinear downscale of decoded uint8 video frames to
+    `dst_wh` = (width, height) BEFORE upload.
+
+    The pipeline resizes frames to each model's input resolution on device
+    anyway (pipeline/interface.py `_slab_body`), so uploading at any
+    resolution >= the largest model resolution carries zero extra
+    information — only extra host->device bytes. Downscaling 1920x1080 to
+    the production models' 1600x896 on host cuts every uploaded piece by
+    31% (i420: 3.11 -> 2.15 MB/frame), which converts directly into e2e fps
+    whenever the link, not the chip, is the bottleneck (PERF.md "End-to-end
+    budget"). cv2.INTER_LINEAR uses the same half-pixel-center convention
+    as the device resize (jax.image.resize, antialias=False), so this only
+    reorders an existing resampling chain.
+
+    pixel_format "rgb": frames (T, H, W, 3). "i420": frames
+    (T, H*3//2, W) planar (layout as in `i420_to_rgb`); the Y plane is
+    resized at full res and U/V at half res, preserving the planar layout.
+    Returns uint8 frames in the same pixel format at the new resolution.
+    """
+    import cv2
+    import numpy as np
+
+    w, h = int(dst_wh[0]), int(dst_wh[1])
+    if pixel_format == "rgb":
+        return np.stack(
+            [cv2.resize(f, (w, h), interpolation=cv2.INTER_LINEAR) for f in frames]
+        )
+    if pixel_format != "i420":
+        raise ValueError(f"unknown pixel_format {pixel_format!r}")
+    if h % 4 or w % 2:
+        raise ValueError(f"i420 target resolution must have h % 4 == 0, w % 2 == 0; got {(w, h)}")
+    T = frames.shape[0]
+    H = frames.shape[1] * 2 // 3
+    W = frames.shape[2]
+    out = np.empty((T, h * 3 // 2, w), np.uint8)
+    for t in range(T):
+        f = frames[t]
+        out[t, :h] = cv2.resize(f[:H], (w, h), interpolation=cv2.INTER_LINEAR)
+        u = f[H : H + H // 4].reshape(H // 2, W // 2)
+        v = f[H + H // 4 :].reshape(H // 2, W // 2)
+        out[t, h : h + h // 4] = cv2.resize(
+            u, (w // 2, h // 2), interpolation=cv2.INTER_LINEAR
+        ).reshape(h // 4, w)
+        out[t, h + h // 4 :] = cv2.resize(
+            v, (w // 2, h // 2), interpolation=cv2.INTER_LINEAR
+        ).reshape(h // 4, w)
+    return out

@@ -149,10 +149,14 @@ class _Detector:
                 # pure-scale resize: jax.image.resize with antialias off is
                 # exactly cv2 INTER_LINEAR (half-pixel centers) and lowers to
                 # dense XLA ops — the general affine gather path costs
-                # seconds/chunk on TPU (gathers don't vectorize)
-                x = jax.image.resize(
-                    images, (B, MH, MW, images.shape[-1]), "bilinear", antialias=False
-                )
+                # seconds/chunk on TPU (gathers don't vectorize). Skipped
+                # when frames already arrive at model resolution (the
+                # upload_res="model" host-downscale path).
+                x = images
+                if images.shape[1:3] != (MH, MW):
+                    x = jax.image.resize(
+                        images, (B, MH, MW, images.shape[-1]), "bilinear", antialias=False
+                    )
                 x = normalize_image(x)
                 if half:
                     x = x.astype(jnp.bfloat16)
@@ -176,9 +180,11 @@ class _Detector:
                     images = frames_dev[idx_cur]
                 images = images.astype(jnp.float32)
                 B = images.shape[0]
-                x = jax.image.resize(
-                    images, (B, MH, MW, images.shape[-1]), "bilinear", antialias=False
-                )
+                x = images
+                if images.shape[1:3] != (MH, MW):
+                    x = jax.image.resize(
+                        images, (B, MH, MW, images.shape[-1]), "bilinear", antialias=False
+                    )
                 x = normalize_image(x)
                 if half:
                     x = x.astype(jnp.bfloat16)
@@ -194,9 +200,11 @@ class _Detector:
                 triples supported — no adjacency assumption)."""
                 images = images.astype(jnp.float32)
                 B = images.shape[0]
-                x = jax.image.resize(
-                    images, (B, MH, MW, images.shape[-1]), "bilinear", antialias=False
-                )
+                x = images
+                if images.shape[1:3] != (MH, MW):
+                    x = jax.image.resize(
+                        images, (B, MH, MW, images.shape[-1]), "bilinear", antialias=False
+                    )
                 x = normalize_image(x)
                 if half:
                     x = x.astype(jnp.bfloat16)
@@ -462,7 +470,7 @@ class TableTennisPipeline:
             )
 
     def run_rally(self, images, fps: float, table_stride: int = 1,
-                  pixel_format: str = "rgb"):
+                  pixel_format: str = "rgb", upload_res="model"):
         """Full rally pipeline returning all intermediates (detections,
         filter outputs, 3D trajectory) — the combined-eval protocols need
         them (ref: inference_combined.py:103-163, 233-283).
@@ -488,6 +496,16 @@ class TableTennisPipeline:
         frames anyway (static camera), so accuracy is unaffected while
         table compute drops by the stride factor. Default 1 = reference
         protocol.
+
+        upload_res: "model" (default) downscales frames ON HOST to the
+        largest detector input resolution before upload (cv2 bilinear,
+        same half-pixel convention as the on-device resize) — frames above
+        model resolution carry zero extra information, only extra
+        host->device bytes (1920x1080 -> 1600x896 is -31%/frame; the
+        detections still live in the 1920x1080 eval space, ops/peak.py maps
+        heatmaps there independent of the input resolution). A (width,
+        height) tuple picks an explicit upload resolution; None uploads
+        frames as given (exactly the pre-round-2 behavior).
         """
         if isinstance(images, np.ndarray) and images.dtype == np.uint8:
             frames = images
@@ -495,6 +513,19 @@ class TableTennisPipeline:
             frames = np.stack([np.asarray(im) for im in images])
             if frames.dtype != np.uint8:
                 frames = frames.astype(np.uint8)
+        if upload_res == "model":
+            dets = (self.ball_detector, self.ball_detector_aux,
+                    self.table_detector, self.table_detector_aux)
+            upload_res = (max(d.resolution[0] for d in dets),
+                          max(d.resolution[1] for d in dets))
+        if upload_res is not None:
+            src_h = frames.shape[1] * 2 // 3 if pixel_format == "i420" else frames.shape[1]
+            src_w = frames.shape[2]
+            uw, uh = int(upload_res[0]), int(upload_res[1])
+            if src_w > uw and src_h > uh:
+                from upliftingtabletennis_tpu.data.image_transforms import host_downscale
+
+                frames = host_downscale(frames, (uw, uh), pixel_format)
         hw = None
         if pixel_format == "i420":
             hw = (frames.shape[1] * 2 // 3, frames.shape[2])
@@ -602,11 +633,11 @@ class TableTennisPipeline:
         }
 
     def predict(self, images, fps: float, table_stride: int = 1,
-                pixel_format: str = "rgb"):
+                pixel_format: str = "rgb", upload_res="model"):
         """images: list of RGB frames or one (T, H, W, 3) uint8 array (one
         rally); fps: video framerate. Returns (spin_local (3,),
         positions_3d (T', 3)) (ref: interface.py:265-289)."""
-        out = self.run_rally(images, fps, table_stride, pixel_format)
+        out = self.run_rally(images, fps, table_stride, pixel_format, upload_res)
         return out["spin"], out["pos3d"]
 
     def calibrate_camera(self, keypoints):
