@@ -188,3 +188,35 @@ def test_trainer_smoke(fake_tthq, task, model, dp, tmp_path):
             "--save_dir", str(tmp_path / "ckpt"), "--logdir", str(tmp_path / "runs"),
         ]
     )
+
+
+def test_trainer_reference_flags(fake_tthq, tmp_path):
+    """The reference's remaining trainer knobs through the CLI: in_frames=1,
+    heatmap_sigma, not_use_invis, exp_id in the run identifier, and --debug
+    routing to the *_tmp dirs (ref: balldetection/train.py:12-18,
+    config.py:47-50)."""
+    import glob
+
+    from upliftingtabletennis_tpu.train.run_detection import main
+    from upliftingtabletennis_tpu.utils.checkpoint import load_checkpoint
+
+    save = tmp_path / "ckpt"
+    main(
+        [
+            "--task", "ball", "--model", "wasb", "--data_root", fake_tthq,
+            "--batch_size", "2", "--num_epochs", "1", "--val_iterations", "1",
+            "--max_steps", "1", "--resolution", "128", "96",
+            "--eval_resolution", "256", "192",
+            "--in_frames", "1", "--heatmap_sigma", "4.0", "--not_use_invis",
+            "--exp_id", "flagtest", "--debug",
+            "--save_dir", str(save), "--logdir", str(tmp_path / "runs"),
+        ]
+    )
+    # --debug must have redirected the save dir to <dir>_tmp
+    assert not glob.glob(str(save / "ball_wasb*")), "--debug wrote to the non-tmp dir"
+    run_dirs = glob.glob(str(save) + "_tmp/ball_wasb_exp:flagtest_*")
+    assert run_dirs, "identifier missing the exp_id tag (or no checkpoint saved)"
+    _, _, info = load_checkpoint(os.path.join(run_dirs[0], "model"))
+    assert info["in_frames"] == 1
+    assert info["heatmap_sigma"] == 4.0
+    assert info["use_invis"] is False

@@ -129,17 +129,22 @@ def load_frame(root: str, video: int, frame: int) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
 
 
-def load_ball_batch(root: str, samples: Sequence[BallSample]):
-    """Stack (B, H, W, 9) triplets (prev, current, next) + annotations.
+def load_ball_batch(root: str, samples: Sequence[BallSample], in_frames: int = 3):
+    """Stack (B, H, W, 3*in_frames) windows (prev, current, next) + annotations.
 
     coords (B, 3, 2): rows are (center, streak_min, streak_max); for TTHQ
-    min = max = center, matching the reference (ref: dataset.py:412-415)."""
+    min = max = center, matching the reference (ref: dataset.py:412-415).
+    in_frames in {1, 3} like the reference (ref: dataset.py:26)."""
+    assert in_frames in (1, 3), f"in_frames must be 1 or 3, got {in_frames}"
     imgs, coords, vis = [], [], []
     for s in samples:
         cur = load_frame(root, s.video, s.frames[0])
-        prev = load_frame(root, s.video, s.frames[1])
-        nxt = load_frame(root, s.video, s.frames[2])
-        imgs.append(np.concatenate([prev, cur, nxt], axis=-1))
+        if in_frames == 3:
+            prev = load_frame(root, s.video, s.frames[1])
+            nxt = load_frame(root, s.video, s.frames[2])
+            imgs.append(np.concatenate([prev, cur, nxt], axis=-1))
+        else:
+            imgs.append(cur)
         coords.append([s.coords, s.min_coords, s.max_coords])
         vis.append([s.visibility] * 3)
     return (
@@ -251,19 +256,23 @@ def load_frame_path(path: str) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
 
 
-def load_blurball_ball_batch(root: str, samples: Sequence[BlurBallSample]):
-    """Stack (B, H, W, 9) triplets + (center, streak_min, streak_max) coords.
+def load_blurball_ball_batch(root: str, samples: Sequence[BlurBallSample], in_frames: int = 3):
+    """Stack (B, H, W, 3*in_frames) windows + (center, streak_min, streak_max).
 
     coords (B, 3, 2) at SOURCE resolution: row 0 the ball center (heatmap
     target), rows 1-2 the blur-streak endpoints (metrics only) — TTHQ uses
     min = max = center exactly like the reference (ref:
     balldetection/dataset.py:131-136, 412-415)."""
+    assert in_frames in (1, 3), f"in_frames must be 1 or 3, got {in_frames}"
     imgs, coords, vis = [], [], []
     for s in samples:
         cur = load_frame_path(s.paths[0])
-        prev = load_frame_path(s.paths[1])
-        nxt = load_frame_path(s.paths[2])
-        imgs.append(np.concatenate([prev, cur, nxt], axis=-1))
+        if in_frames == 3:
+            prev = load_frame_path(s.paths[1])
+            nxt = load_frame_path(s.paths[2])
+            imgs.append(np.concatenate([prev, cur, nxt], axis=-1))
+        else:
+            imgs.append(cur)
         x, y = s.coords
         dx = s.blur_len * np.cos(np.deg2rad(s.blur_theta_deg))
         dy = s.blur_len * np.sin(np.deg2rad(s.blur_theta_deg))

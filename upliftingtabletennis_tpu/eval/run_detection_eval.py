@@ -33,7 +33,8 @@ def evaluate_checkpoint(task: str, ckpt_path: str, data_root: str, batch_size=8,
     from upliftingtabletennis_tpu.utils.checkpoint import load_checkpoint
 
     variables, _, info = load_checkpoint(ckpt_path)
-    model, (MW, MH) = get_detector(info.get("model", "wasb"), task, train=False)
+    model, (MW, MH) = get_detector(info.get("model", "wasb"), task,
+                                   in_frames=info.get("in_frames"), train=False)
     if resolution:
         MW, MH = resolution
     elif "resolution" in info:
@@ -42,8 +43,10 @@ def evaluate_checkpoint(task: str, ckpt_path: str, data_root: str, batch_size=8,
     n_points = 1 if task == "ball" else 13
 
     if task == "ball":
+        from functools import partial
+
         index = D.load_tthq_ball_index(data_root, "test")
-        load = D.load_ball_batch
+        load = partial(D.load_ball_batch, in_frames=info.get("in_frames", 3))
     else:
         index = D.load_tthq_table_index(data_root, "test")
         load = D.load_table_batch

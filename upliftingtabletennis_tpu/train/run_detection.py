@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import os
 import time
+from functools import partial
 
 import numpy as np
 
@@ -66,7 +67,26 @@ def main(argv=None):
                    help="override model input resolution W H (debug/smoke)")
     p.add_argument("--eval_resolution", type=int, nargs=2, default=None,
                    help="override 1920x1080 eval resolution (debug/smoke)")
+    p.add_argument("--in_frames", type=int, choices=(1, 3), default=None,
+                   help="ball input frames, 1 or 3 (ref: balldetection/train.py:12, "
+                        "dataset.py:26); table is always 1")
+    p.add_argument("--heatmap_sigma", type=float, default=6.0,
+                   help="Gaussian target sigma at eval res (ref: balldetection/train.py:13)")
+    p.add_argument("--not_use_invis", action="store_true",
+                   help="exclude invisible-ball samples from train AND val "
+                        "(ref: balldetection/train.py:14,65-69)")
+    p.add_argument("--exp_id", type=str, default=None,
+                   help="experiment tag embedded in the run identifier "
+                        "(ref: balldetection/config.py:47)")
+    p.add_argument("--debug", action="store_true",
+                   help="debug mode: route logs/checkpoints to <dir>_tmp and enable "
+                        "jax_debug_nans (ref: balldetection/config.py:49-50, "
+                        "uplifting/train.py:25-26)")
     args = p.parse_args(argv)
+    if args.debug:
+        args.debug_nans = True
+        args.logdir = args.logdir.rstrip("/") + "_tmp"
+        args.save_dir = args.save_dir.rstrip("/") + "_tmp"
     if args.num_epochs is None:
         args.num_epochs = 10 if args.data == "blurball" else (50 if args.task == "ball" else 700)
 
@@ -88,8 +108,10 @@ def main(argv=None):
     from upliftingtabletennis_tpu.utils.checkpoint import save_checkpoint
 
     task = args.task
-    model, (MW, MH) = get_detector(args.model, task, train=True, remat=True)
-    eval_model, _ = get_detector(args.model, task, train=False)
+    in_frames = (args.in_frames or 3) if task == "ball" else 1
+    model, (MW, MH) = get_detector(args.model, task, in_frames=in_frames,
+                                   train=True, remat=True)
+    eval_model, _ = get_detector(args.model, task, in_frames=in_frames, train=False)
     if args.resolution:
         MW, MH = args.resolution
     EW, EH = args.eval_resolution or (D.EVAL_WIDTH, D.EVAL_HEIGHT)
@@ -98,14 +120,15 @@ def main(argv=None):
     # the table task (ref: tabledetection/transforms.py:53)
     aug_cfg = ImageAugmentConfig(flip_prob=0.5 if task == "ball" else 0.0)
 
+    use_invis = not args.not_use_invis
     if task == "ball" and args.data == "tthq":
-        index_tr = D.load_tthq_ball_index(args.data_root, "train")
-        index_va = D.load_tthq_ball_index(args.data_root, "val")
-        load = D.load_ball_batch
+        index_tr = D.load_tthq_ball_index(args.data_root, "train", use_invisible=use_invis)
+        index_va = D.load_tthq_ball_index(args.data_root, "val", use_invisible=use_invis)
+        load = partial(D.load_ball_batch, in_frames=in_frames)
     elif task == "ball":  # blurball pretraining run
-        index_tr = D.load_blurball_index(args.data_root, "train")
-        index_va = D.load_blurball_index(args.data_root, "val")
-        load = D.load_blurball_ball_batch
+        index_tr = D.load_blurball_index(args.data_root, "train", use_invisible=use_invis)
+        index_va = D.load_blurball_index(args.data_root, "val", use_invisible=use_invis)
+        load = partial(D.load_blurball_ball_batch, in_frames=in_frames)
     elif args.data == "tthq":
         index_tr = D.load_tthq_table_index(args.data_root, "train")
         index_va = D.load_tthq_table_index(args.data_root, "val")
@@ -138,7 +161,7 @@ def main(argv=None):
         return tuple(jax.device_put(jnp.asarray(a), shard_b) for a in arrays)
 
     rng = jax.random.PRNGKey(args.seed)
-    example = jnp.zeros((args.batch_size, MH, MW, 9 if task == "ball" else 3))
+    example = jnp.zeros((args.batch_size, MH, MW, 3 * in_frames))
     variables = jax.jit(model.init)(rng, example)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -206,7 +229,8 @@ def main(argv=None):
             -1,
         )
         tp = 1 if task == "ball" else n_points
-        target = M.render_gaussian_heatmaps(c_eval[:, :tp], v[:, :tp], EH, EW, 6.0)
+        target = M.render_gaussian_heatmaps(c_eval[:, :tp], v[:, :tp], EH, EW,
+                                            args.heatmap_sigma)
 
         def loss_fn(p):
             out = model.apply(
@@ -308,10 +332,12 @@ def main(argv=None):
                 out[f"pck{tol}"] = float(M.pck_keypoints(preds, gts, tol))
         return out
 
-    identifier = f"{task}_{args.model}_{time.strftime('%m%d%Y-%H%M%S')}"
+    exp = f"_exp:{args.exp_id}" if args.exp_id else ""
+    identifier = f"{task}_{args.model}{exp}_{time.strftime('%m%d%Y-%H%M%S')}"
     hparams = {"task": task, "model": args.model, "lr": args.lr, "batch_size": args.batch_size,
-               "resolution": [MW, MH], "in_frames": 3 if task == "ball" else 1,
-               "data": args.data}
+               "resolution": [MW, MH], "in_frames": in_frames,
+               "heatmap_sigma": args.heatmap_sigma, "use_invis": use_invis,
+               "exp_id": args.exp_id, "data": args.data}
     from upliftingtabletennis_tpu.parallel.distributed import is_main_process
 
     writer = None

@@ -115,7 +115,18 @@ def main(argv=None):
                         "ref: uplifting/train.py:25-26)")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of epoch 1 into logdir")
+    p.add_argument("--exp_id", type=str, default=None,
+                   help="experiment tag embedded in the run identifier "
+                        "(ref: uplifting/config.py:28-33)")
+    p.add_argument("--debug", action="store_true",
+                   help="debug mode: route logs/checkpoints to <dir>_tmp and enable "
+                        "jax_debug_nans (ref: uplifting/config.py:35-50, "
+                        "train.py:25-26)")
     args = p.parse_args(argv)
+    if args.debug:
+        args.debug_nans = True
+        args.logdir = args.logdir.rstrip("/") + "_tmp"
+        args.save_dir = args.save_dir.rstrip("/") + "_tmp"
 
     import jax
     import jax.numpy as jnp
@@ -135,10 +146,11 @@ def main(argv=None):
     )
     from upliftingtabletennis_tpu.utils.checkpoint import save_checkpoint
 
+    exp = f"_exp:{args.exp_id}" if args.exp_id else ""
     identifier = (
         f"lr:{args.lr:.2e}_bs:{args.batch_size:02d}_name:{args.model_name}"
         f"_mode:{args.token_mode}_size:{args.model_size}_tr:{args.time_rotation}"
-        f"_trans:{args.transform_mode}_{time.strftime('%m%d%Y-%H%M%S')}"
+        f"_trans:{args.transform_mode}{exp}_{time.strftime('%m%d%Y-%H%M%S')}"
     )
     hparams = {
         "lr": args.lr, "batch_size": args.batch_size, "num_epochs": args.num_epochs,
@@ -148,6 +160,7 @@ def main(argv=None):
         "stop_prob": args.stop_prob, "blur_strength": args.blur_strength,
         "randdet_prob": args.randdet_prob, "randmiss_prob": args.randmiss_prob,
         "tablemiss_prob": args.tablemiss_prob, "transform_mode": args.transform_mode,
+        "exp_id": args.exp_id,
     }
 
     from upliftingtabletennis_tpu.parallel.distributed import is_main_process
