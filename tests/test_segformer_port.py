@@ -96,3 +96,14 @@ def test_hf_backbone_cli_merge(tmp_path):
         "--save_dir", str(tmp_path / "sv"), "--logdir", str(tmp_path / "tb"),
         "--val_samples", "2",
     ])
+
+    # regression: --in_frames 1 must widen the patch embed to 3 channels,
+    # not the ball-task default 9 (n_in = 3*in_frames, not task-keyed)
+    run_detection.main([
+        "--task", "ball", "--model", "segformerpp_b0", "--data_root", str(root),
+        "--in_frames", "1",
+        "--hf_backbone", str(sd_path), "--num_epochs", "1", "--max_steps", "1",
+        "--batch_size", "2", "--resolution", "96", "64",
+        "--save_dir", str(tmp_path / "sv1"), "--logdir", str(tmp_path / "tb1"),
+        "--val_samples", "2",
+    ])

@@ -96,9 +96,7 @@ def _pipeline_from(ball_ckpt, table_ckpt, uplifting_checkpoint, model_res, chunk
     if uplifting_checkpoint:
         pipe.uplifting_model = UpliftingModel(uplifting_checkpoint)
     else:
-        from upliftingtabletennis_tpu.pipeline.interface import UpliftingModel as UM
-
-        pipe.uplifting_model = UM(name="connectstage", size="small")
+        pipe.uplifting_model = UpliftingModel(name="connectstage", size="small")
     pipe.KEYPOINT_VISIBLE = 1
     return pipe
 
@@ -279,6 +277,7 @@ def evaluate_pipeline(store, ckpts, args):
     ball_px_errs, table_px_errs, pos3d_errs = [], [], []
     spin_scores, spin_labels = [], []
     n_valid_frames = 0
+    n_evaluated = 0
     for j, ti in enumerate(test_idx):
         key = jax.random.PRNGKey(10_000 + int(ti))
         sample = assemble_j(
@@ -288,6 +287,7 @@ def evaluate_pipeline(store, ckpts, args):
         T = int(mask.sum())
         if T < 8:
             continue
+        n_evaluated += 1
         r_img_pad = np.asarray(sample["r_img"][0])       # (50, 2) 2560x1440 px
         table_img = np.asarray(sample["table_img"][0])
         r_world = np.asarray(sample["r_world"][0][:T])
@@ -337,7 +337,8 @@ def evaluate_pipeline(store, ckpts, args):
             spin_labels.append(1.0 if w_local[1] > 0 else 2.0)
 
     res = {
-        "n_rallies": int(len(test_idx)),
+        "n_rallies": int(n_evaluated),
+        "n_rallies_skipped_short": int(len(test_idx) - n_evaluated),
         "n_detected_frames": int(n_valid_frames),
         "ball_detection_px_mean": float(np.mean(np.concatenate(ball_px_errs))) if ball_px_errs else None,
         "ball_detection_px_median": float(np.median(np.concatenate(ball_px_errs))) if ball_px_errs else None,

@@ -126,16 +126,35 @@ class _Detector:
                     heat = 0.5 * (heat + flip_back(heat_f))
                 return heat
 
+            def postprocess(images):
+                """Shared tail of every predict body: float32, resize to the
+                model input res, normalize, optional bf16, forward, peaks.
+                The pure-scale resize (jax.image.resize, antialias off) is
+                exactly cv2 INTER_LINEAR (half-pixel centers) and lowers to
+                dense XLA ops — the general affine gather path costs
+                seconds/chunk on TPU (gathers don't vectorize). Skipped
+                when frames already arrive at model resolution (the
+                upload_res="model" host-downscale path)."""
+                x = images.astype(jnp.float32)
+                if x.shape[1:3] != (MH, MW):
+                    x = jax.image.resize(
+                        x, (x.shape[0], MH, MW, x.shape[-1]), "bilinear", antialias=False
+                    )
+                x = normalize_image(x)
+                if half:
+                    x = x.astype(jnp.bfloat16)
+                heat = jnp.moveaxis(forward_heat(x), -1, 1).astype(jnp.float32)
+                return extract_peaks(heat, WIDTH, HEIGHT, threshold=thr)
+
             def predict_chunk_body(frames_dev, idx):
                 """frames_dev (T, H, W, 3) uint8 device-resident; idx (chunk,)
-                center frame indices. Gathers triplets, resizes, normalizes,
-                forwards and extracts peaks — all on device. The frames
-                transfer to HBM ONCE per rally (uint8), not once per model
-                per chunk: host->device bandwidth dominates everything else
-                on a tunneled chip (SURVEY §7.3). Unjitted body so the
-                pipeline can fuse all four detectors into ONE program per
-                slab (each program execution has a ~4 ms fixed floor on a
-                tunneled chip)."""
+                center frame indices. Gathers triplets then postprocesses —
+                all on device. The frames transfer to HBM ONCE per rally
+                (uint8), not once per model per chunk: host->device bandwidth
+                dominates everything else on a tunneled chip (SURVEY §7.3).
+                Unjitted body so the pipeline can fuse all four detectors
+                into ONE program per slab (each program execution has a
+                ~4 ms fixed floor on a tunneled chip)."""
                 T = frames_dev.shape[0]
                 if triplet:
                     gather = [jnp.clip(idx - 1, 0, T - 1), idx, jnp.clip(idx + 1, 0, T - 1)]
@@ -144,24 +163,7 @@ class _Detector:
                     )  # (chunk, H, W, 9) uint8, order (prev, cur, next)
                 else:
                     images = frames_dev[idx]
-                images = images.astype(jnp.float32)
-                B = images.shape[0]
-                # pure-scale resize: jax.image.resize with antialias off is
-                # exactly cv2 INTER_LINEAR (half-pixel centers) and lowers to
-                # dense XLA ops — the general affine gather path costs
-                # seconds/chunk on TPU (gathers don't vectorize). Skipped
-                # when frames already arrive at model resolution (the
-                # upload_res="model" host-downscale path).
-                x = images
-                if images.shape[1:3] != (MH, MW):
-                    x = jax.image.resize(
-                        images, (B, MH, MW, images.shape[-1]), "bilinear", antialias=False
-                    )
-                x = normalize_image(x)
-                if half:
-                    x = x.astype(jnp.bfloat16)
-                heat = jnp.moveaxis(forward_heat(x), -1, 1).astype(jnp.float32)
-                return extract_peaks(heat, WIDTH, HEIGHT, threshold=thr)
+                return postprocess(images)
 
             self._chunk_body = predict_chunk_body
 
@@ -178,18 +180,7 @@ class _Detector:
                     )  # (chunk, H, W, 9) uint8, order (prev, cur, next)
                 else:
                     images = frames_dev[idx_cur]
-                images = images.astype(jnp.float32)
-                B = images.shape[0]
-                x = images
-                if images.shape[1:3] != (MH, MW):
-                    x = jax.image.resize(
-                        images, (B, MH, MW, images.shape[-1]), "bilinear", antialias=False
-                    )
-                x = normalize_image(x)
-                if half:
-                    x = x.astype(jnp.bfloat16)
-                heat = jnp.moveaxis(forward_heat(x), -1, 1).astype(jnp.float32)
-                return extract_peaks(heat, WIDTH, HEIGHT, threshold=thr)
+                return postprocess(images)
 
             self._slab_body = slab_body
             self._predict_chunk = jax.jit(predict_chunk_body)
@@ -198,18 +189,7 @@ class _Detector:
             def predict_images(images):
                 """images (B, H, W, C_in) uint8 pre-assembled (arbitrary
                 triples supported — no adjacency assumption)."""
-                images = images.astype(jnp.float32)
-                B = images.shape[0]
-                x = images
-                if images.shape[1:3] != (MH, MW):
-                    x = jax.image.resize(
-                        images, (B, MH, MW, images.shape[-1]), "bilinear", antialias=False
-                    )
-                x = normalize_image(x)
-                if half:
-                    x = x.astype(jnp.bfloat16)
-                heat = jnp.moveaxis(forward_heat(x), -1, 1).astype(jnp.float32)
-                return extract_peaks(heat, WIDTH, HEIGHT, threshold=thr)
+                return postprocess(images)
 
             self._predict_images = predict_images
 
@@ -463,10 +443,13 @@ class TableTennisPipeline:
         # ICI). None = single-device (the reference has no inference
         # parallelism at all; SURVEY §5.8).
         self.mesh = mesh
-        if mesh is not None and chunk % int(np.prod(mesh.devices.shape)):
+        # Pieces are sharded over the 'dp' axis only (PartitionSpec("dp")
+        # in _upload_pieces), so that is the divisor that matters — a
+        # ('dp','mp') mesh with mp>1 still only needs dp | chunk.
+        if mesh is not None and chunk % int(mesh.shape["dp"]):
             raise ValueError(
-                f"chunk ({chunk}) must be divisible by the mesh size "
-                f"({int(np.prod(mesh.devices.shape))}) for even frame sharding"
+                f"chunk ({chunk}) must be divisible by the mesh 'dp' axis "
+                f"({int(mesh.shape['dp'])}) for even frame sharding"
             )
 
     def run_rally(self, images, fps: float, table_stride: int = 1,

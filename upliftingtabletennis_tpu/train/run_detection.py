@@ -194,7 +194,7 @@ def main(argv=None):
         if isinstance(sd, dict) and "state_dict" in sd:
             sd = sd["state_dict"]
         ported = port_hf_segformer_backbone(sd)
-        n_in = 9 if task == "ball" else 3
+        n_in = 3 * in_frames
         if n_in != 3:
             pe0 = ported["patch_embed_0"]["kernel"]
             ported["patch_embed_0"]["kernel"] = np.tile(
