@@ -47,6 +47,15 @@ def test_ema_debiasing_exact_for_constant_params():
                                        rtol=1e-5)
 
 
+def test_ema_decay_scales_with_run_length():
+    """Short closed-loop runs must not average over the whole (still fast-
+    improving) trajectory: the horizon caps at ~10% of the run, and long
+    runs keep the reference trainers' 0.999."""
+    assert CL.ema_decay_for(1_000_000) == 0.999
+    assert CL.ema_decay_for(150) == 1.0 - 10.0 / 150.0
+    assert 0.0 < CL.ema_decay_for(1) <= 0.5
+
+
 def test_render_rally_shapes_and_determinism():
     import jax
     import jax.numpy as jnp

@@ -56,6 +56,15 @@ def ema_finalize(ema, n_steps, decay=EMA_DECAY):
     return jax.tree.map(lambda e: e / bias_corr, ema)
 
 
+def ema_decay_for(train_steps: int, decay=EMA_DECAY) -> float:
+    """EMA horizon scaled to the run length. A fixed 0.999 over a few
+    thousand steps averages params across a phase where they are still
+    improving fast (the debiased 150-step smoke EMA spread its weight
+    nearly uniformly over ALL 150 steps — mid-training garbage dominated
+    the saved detector). Cap the averaging window at ~10% of the run."""
+    return min(decay, 1.0 - 10.0 / max(train_steps, 20))
+
+
 def _load_store(data_dir, modes=("intermediate",)):
     import jax
 
@@ -176,8 +185,16 @@ def train_detectors(store, args):
         variables = jax.jit(model.init)(k_init, jnp.zeros((1, RH, RW, n_ch)))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
-        tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(args.lr))
+        # warmup + cosine decay: constant Adam at the peak lr oscillates
+        # around the optimum at this tiny batch size; the tail anneal is
+        # what turns coarse localization into few-px peaks
+        warmup = min(100, max(10, args.train_steps // 20))
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, warmup, args.train_steps, args.lr * 0.03
+        )
+        tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(sched))
         opt_state = tx.init(params)
+        decay = ema_decay_for(args.train_steps)
         ema = jax.tree.map(jnp.zeros_like, params)  # see ema_finalize
 
         # Two jitted programs per step, NOT one: the fused
@@ -221,7 +238,7 @@ def train_detectors(store, args):
             (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            ema = ema_update(ema, params)
+            ema = ema_update(ema, params, decay)
             return params, new_state.get("batch_stats", batch_stats), opt_state, ema, loss
 
         t0 = time.perf_counter()
@@ -236,14 +253,51 @@ def train_detectors(store, args):
                       f"({time.perf_counter() - t0:.0f}s)", flush=True)
 
         from upliftingtabletennis_tpu.utils.checkpoint import save_checkpoint
+        from upliftingtabletennis_tpu.ops.peak import extract_peaks
 
-        ema = ema_finalize(ema, args.train_steps)
+        ema = ema_finalize(ema, args.train_steps, decay)
+
+        # Pick raw vs EMA by measured detection error on the val split
+        # (rendered exactly like training batches, scored in eval px) —
+        # at short step counts the EMA window can lag the raw params.
+        eval_model, _ = get_detector(model_name, task, train=False)
+        val_idx = jnp.asarray(SYN.split_indices(len(store), "val"))
+
+        @jax.jit
+        def probe_err(p, bs, key, store_arg, idx_arg):
+            images, coords, vis = sample_rendered(key, store_arg, idx_arg, task)
+            x = normalize_image(images.astype(jnp.float32))
+            v = {"params": p}
+            if bs:
+                v["batch_stats"] = bs
+            y = eval_model.apply(v, x)
+            heat = y[0] if isinstance(y, tuple) else y
+            pk = extract_peaks(jnp.moveaxis(heat, -1, 1), EVAL_W, EVAL_H)
+            err = jnp.linalg.norm(pk[..., :2] - coords[:, :n_pts], axis=-1)
+            m = (vis[:, :n_pts] > 0).astype(jnp.float32)
+            return jnp.sum(err * m), jnp.sum(m)
+
+        px_err = {}
+        for cand, p in (("raw", params), ("ema", ema)):
+            s = c = 0.0
+            for i in range(4):
+                e, n = probe_err(p, batch_stats, jax.random.PRNGKey(7_000 + i),
+                                 store_j, val_idx)
+                s += float(e)
+                c += float(n)
+            px_err[cand] = s / max(c, 1.0)
+        chosen = "ema" if px_err["ema"] <= px_err["raw"] else "raw"
+        print(f"[{task}] val detection px err: raw {px_err['raw']:.1f} "
+              f"ema {px_err['ema']:.1f} -> saving {chosen}", flush=True)
+
         ckpt = os.path.join(args.out, f"{task}_detector")
-        tree = {"params": jax.device_get(ema)}
+        tree = {"params": jax.device_get(ema if chosen == "ema" else params)}
         if batch_stats:
             tree["batch_stats"] = jax.device_get(batch_stats)
         save_checkpoint(ckpt, tree, f"closed_loop_{model_name}",
-                        {"task": task, "model": model_name, "render_res": list(args.render_res)})
+                        {"task": task, "model": model_name,
+                         "render_res": list(args.render_res),
+                         "weights": chosen, "val_px_err": px_err[chosen]})
         results[task] = ckpt
     return results
 
@@ -357,7 +411,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data_dir", type=str, default=None)
     p.add_argument("--out", type=str, default="artifacts/closed_loop")
-    p.add_argument("--train_steps", type=int, default=1200)
+    p.add_argument("--train_steps", type=int, default=3000)
     p.add_argument("--batch_size", type=int, default=2,
                    help="2 fits the remat-trained full-res HRNets in 16 GB "
                         "HBM; batch 4 needs ~24 GB even with remat")
