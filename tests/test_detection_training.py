@@ -220,3 +220,48 @@ def test_trainer_reference_flags(fake_tthq, tmp_path):
     assert info["in_frames"] == 1
     assert info["heatmap_sigma"] == 4.0
     assert info["use_invis"] is False
+
+
+def test_trainer_torch_init_flag(fake_tthq, tmp_path):
+    """--torch_init wiring: a reference-layout `initialization/wasb/model.pth`
+    (single-frame HRNet state dict) flows through the CLI's filtered load +
+    stem widening and the run still trains (ref: wasb.py:580-589). The
+    init *semantics* are parity-pinned in test_port_reference_weights.py;
+    this covers the flag plumbing end-to-end."""
+    import pathlib
+    import sys
+
+    import pytest
+
+    if not pathlib.Path("/root/reference").exists():
+        pytest.skip("reference repo not available")
+    sys.path.insert(0, "/root/reference")
+    import torch
+
+    from balldetection.models.wasb import WASBNet as RefWASB
+    from upliftingtabletennis_tpu.train.run_detection import main
+
+    import paths as ref_paths
+
+    (tmp_path / "initialization" / "wasb").mkdir(parents=True)
+    old_wp = ref_paths.weights_path
+    ref_paths.weights_path = str(tmp_path)
+    try:
+        torch.save({}, tmp_path / "initialization" / "wasb" / "model.pth")
+        torch.manual_seed(3)
+        donor_sd = RefWASB(in_frames=1, resolution=(1280, 704)).model.state_dict()
+    finally:
+        ref_paths.weights_path = old_wp
+    init_pth = tmp_path / "wasb_init.pth"
+    torch.save(donor_sd, init_pth)
+
+    main(
+        [
+            "--task", "ball", "--model", "wasb", "--data_root", fake_tthq,
+            "--torch_init", str(init_pth), "--batch_size", "2",
+            "--num_epochs", "1", "--val_iterations", "1", "--max_steps", "1",
+            "--resolution", "128", "96", "--eval_resolution", "256", "192",
+            "--save_dir", str(tmp_path / "ckpt"),
+            "--logdir", str(tmp_path / "runs"),
+        ]
+    )

@@ -189,6 +189,8 @@ def train_detectors(store, args):
         # around the optimum at this tiny batch size; the tail anneal is
         # what turns coarse localization into few-px peaks
         warmup = min(100, max(10, args.train_steps // 20))
+        # tiny fixture runs: warmup must leave a positive decay span
+        warmup = min(warmup, max(1, args.train_steps // 2))
         sched = optax.warmup_cosine_decay_schedule(
             0.0, args.lr, warmup, args.train_steps, args.lr * 0.03
         )

@@ -39,6 +39,11 @@ def main(argv=None):
                         "(ref: balldetection/models/segformer_pp.py:57-67)")
     p.add_argument("--init_checkpoint", type=str, default=None,
                    help="explicit warm-start checkpoint path (overrides --pretraining)")
+    p.add_argument("--torch_init", type=str, default=None,
+                   help="raw pretrained torch init weights for wasb/hrnet "
+                        "(initialization/wasb/model.pth) or vitpose "
+                        "(initialization/vitpose/mae_pretrain_vit_*.pth), "
+                        "filtered + first-conv-widened like the reference")
     p.add_argument("--hf_backbone", type=str, default=None,
                    help="path to a HuggingFace nvidia/mit-bN torch state dict "
                         "(.pt/.bin): initializes the SegFormer backbone from "
@@ -178,6 +183,26 @@ def main(argv=None):
         params = warm["params"]
         batch_stats = warm.get("batch_stats", batch_stats)
         print(f"[init] warm-started from {init_ckpt}")
+    if args.torch_init:
+        # the reference's raw pretrained initialization weights: WASB
+        # publish -> HRNet family (ref: wasb.py:580-589), MAE -> ViTPose
+        # backbone (ref: vitpose.py:56-78); filtered load + first-conv
+        # widening semantics live in port_torch.torch_init_detector
+        import torch as _torch
+
+        from upliftingtabletennis_tpu.utils.port_torch import torch_init_detector
+
+        sd = _torch.load(args.torch_init, map_location="cpu")
+        if isinstance(sd, dict) and isinstance(sd.get("model"), dict):
+            sd = sd["model"]  # MAE checkpoint layout
+        elif isinstance(sd, dict) and isinstance(sd.get("state_dict"), dict):
+            sd = sd["state_dict"]
+        variables, n_loaded, n_total = torch_init_detector(
+            {"params": params, "batch_stats": batch_stats}, sd,
+            args.model, in_frames)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", batch_stats)
+        print(f"[init] loaded {n_loaded}/{n_total} tensors from {args.torch_init}")
     if args.hf_backbone:
         # ImageNet init for the MiT backbone from a HuggingFace mit-bN
         # state dict, via the golden-parity-tested port; the first patch

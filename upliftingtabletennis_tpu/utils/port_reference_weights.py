@@ -1,0 +1,184 @@
+"""Convert the reference's released weights zip into this framework's
+Orbax checkpoint layout.
+
+The reference auto-downloads a weights zip and points `paths.weights_path`
+at it (ref: interface.py:29-79); its layout is
+
+    inference_balldetection/{segformerpp_b0,segformerpp_b2,wasb,vitpose}/model.pt
+    inference_tabledetection/{segformerpp_b0,segformerpp_b2,vitpose,hrnet}/model.pt
+    inference_uplifting/{kienzleetal,mixed,ours}/model.pt
+    pretraining_blurball/{segformerpp_b0,segformerpp_b2,wasb,vitpose}/model.pt
+    initialization/...
+
+Each `model.pt` is a self-describing torch checkpoint
+(`{'model_state_dict', 'identifier', 'additional_info'}`,
+ref: balldetection/helper_balldetection.py:510-529). This CLI walks that
+layout and writes the SAME relative paths as Orbax checkpoint directories,
+so a reference user can switch frameworks with two commands:
+
+    python -m upliftingtabletennis_tpu.utils.port_reference_weights \
+        --src /path/to/reference_weights --dst /path/to/weights
+    # then, in python:
+    from hubconf import full_pipeline
+    pipe = full_pipeline(weights_root="/path/to/weights")
+
+Scope (what is convertible offline, round-trip tested in
+tests/test_port_reference_weights.py):
+
+* uplifting checkpoints (all three paper variants) — port_uplifting_state_dict;
+* wasb / hrnet / vitpose detector checkpoints — port_cnn_state_dict, with
+  the architecture reconstructed from `additional_info` exactly like the
+  reference's own loaders (ref: inference/inference_balldetection.py:49-56);
+* segformerpp_* checkpoints are SKIPPED with a warning: their tensors are
+  named by the external `KieDani/SegformerPlusPlus` hub repo, which is not
+  vendored in the reference and not reachable offline, so no verified key
+  mapping exists. The ImageNet-pretrained MiT *backbone* initialization
+  path is covered separately by `port_torch.port_hf_segformer_backbone`
+  (HuggingFace `nvidia/mit-bN` naming, golden-tested in
+  tests/test_segformer_port.py).
+* `initialization/` raw state dicts (MAE ViT, WASB publish) are skipped:
+  they are training-time init weights, not inference checkpoints; use
+  `port_hf_segformer_backbone`/`port_cnn_state_dict` directly if needed.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+class UnsupportedCheckpoint(RuntimeError):
+    pass
+
+
+def _json_safe(obj):
+    """additional_info values must survive json.dump (tuples -> lists,
+    numpy scalars -> python)."""
+    if isinstance(obj, dict):
+        return {str(k): _json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_safe(v) for v in obj]
+    if isinstance(obj, np.generic):
+        return obj.item()
+    if isinstance(obj, (str, int, float, bool)) or obj is None:
+        return obj
+    return str(obj)
+
+
+def port_uplifting_checkpoint(pt_path: str) -> Tuple[Dict, str, Dict]:
+    """Reference uplifting model.pt -> (flax params, identifier, info)."""
+    import torch
+
+    from upliftingtabletennis_tpu.utils.port_torch import port_uplifting_state_dict
+
+    ckpt = torch.load(pt_path, map_location="cpu", weights_only=False)
+    params = port_uplifting_state_dict(ckpt["model_state_dict"])
+    return params, ckpt.get("identifier", ""), _json_safe(ckpt.get("additional_info", {}))
+
+
+def port_detector_checkpoint(pt_path: str, task: Optional[str] = None
+                             ) -> Tuple[Dict, str, Dict, str]:
+    """Reference detector model.pt -> (flax variables, identifier, info, name).
+
+    Architecture comes from additional_info like the reference's loaders
+    (model_name / in_frames / image_resolution,
+    ref: inference/inference_balldetection.py:49-56). `task` may be omitted
+    and is then inferred from the head's out-channel count (1 ball / 13
+    table).
+    """
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from upliftingtabletennis_tpu.models.factory import (
+        DETECTOR_RESOLUTIONS, get_detector)
+    from upliftingtabletennis_tpu.utils.port_torch import port_cnn_state_dict
+
+    ckpt = torch.load(pt_path, map_location="cpu", weights_only=False)
+    info = ckpt.get("additional_info", {})
+    sd = ckpt["model_state_dict"]
+    name = info.get("model_name")
+    if name is None:
+        raise UnsupportedCheckpoint(f"{pt_path}: no model_name in additional_info")
+    if name.startswith("segformerpp"):
+        raise UnsupportedCheckpoint(
+            f"{pt_path}: segformerpp checkpoints use the external "
+            "KieDani/SegformerPlusPlus tensor naming (not vendored in the "
+            "reference); no verified offline mapping — see module docstring"
+        )
+
+    if task is None:
+        # out channels of the final conv: ball heads emit 1 (wasb: 3 frames,
+        # middle returned), table heads 13
+        out_ch = None
+        for key in ("model.final_layers.0.weight", "model.keypoint_head.final_layer.weight"):
+            if key in sd:
+                out_ch = sd[key].shape[0]
+        if out_ch is None:
+            raise UnsupportedCheckpoint(f"{pt_path}: cannot infer task (no final layer)")
+        task = "table" if out_ch == 13 else "ball"
+
+    in_frames = int(info.get("in_frames", 3 if task == "ball" else 1))
+    res = tuple(info.get("image_resolution", DETECTOR_RESOLUTIONS[name]))  # (W, H)
+    model, _ = get_detector(name, task, in_frames=in_frames, train=False)
+    x_spec = jax.ShapeDtypeStruct((1, res[1], res[0], 3 * in_frames), jnp.float32)
+    var_shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x_spec)
+    variables = port_cnn_state_dict(sd, var_shapes)
+    return variables, ckpt.get("identifier", ""), _json_safe(info), name
+
+
+# relative dirs in the zip -> (kind, task or None)
+_LAYOUT = (
+    ("inference_balldetection", "detector", "ball"),
+    ("inference_tabledetection", "detector", "table"),
+    ("pretraining_blurball", "detector", None),
+    ("inference_uplifting", "uplifting", None),
+)
+
+
+def main(argv=None) -> Dict[str, str]:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--src", required=True,
+                   help="unzipped reference weights directory")
+    p.add_argument("--dst", required=True,
+                   help="output root (same sub-layout, Orbax checkpoints)")
+    args = p.parse_args(argv)
+
+    from upliftingtabletennis_tpu.utils.checkpoint import save_checkpoint
+
+    results: Dict[str, str] = {}
+    for sub, kind, task in _LAYOUT:
+        root = os.path.join(args.src, sub)
+        if not os.path.isdir(root):
+            continue
+        for entry in sorted(os.listdir(root)):
+            pt = os.path.join(root, entry, "model.pt")
+            rel = os.path.join(sub, entry, "model")
+            if not os.path.isfile(pt):
+                continue
+            try:
+                if kind == "uplifting":
+                    tree, ident, info = port_uplifting_checkpoint(pt)
+                else:
+                    tree, ident, info, _ = port_detector_checkpoint(pt, task)
+                save_checkpoint(os.path.join(args.dst, rel), tree, ident, info)
+                results[rel] = "ok"
+            except UnsupportedCheckpoint as e:
+                results[rel] = f"skipped: {e}"
+            except Exception as e:  # keep walking; report at the end
+                results[rel] = f"FAILED: {type(e).__name__}: {e}"
+
+    width = max((len(k) for k in results), default=0)
+    for rel, status in results.items():
+        print(f"{rel:<{width}}  {status}")
+    n_ok = sum(1 for s in results.values() if s == "ok")
+    print(f"[port_reference_weights] converted {n_ok}/{len(results)} checkpoints "
+          f"-> {args.dst}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

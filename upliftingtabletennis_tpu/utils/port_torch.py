@@ -78,7 +78,8 @@ def port_uplifting_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     return params
 
 
-def port_cnn_state_dict(state_dict: Mapping[str, Any], flax_variables) -> Dict[str, Any]:
+def port_cnn_state_dict(state_dict: Mapping[str, Any], flax_variables,
+                        partial: bool = False):
     """Port a torch CNN state_dict into a flax variables dict (params +
     batch_stats) whose module names flatten to the same underscore-joined
     paths as the torch keys (the convention used by models/hrnet.py and
@@ -88,6 +89,13 @@ def port_cnn_state_dict(state_dict: Mapping[str, Any], flax_variables) -> Dict[s
     scale->weight, mean->running_mean, var->running_var) must equal a torch
     key with '.' replaced by '_'. Conv kernels are transposed OIHW->HWIO,
     ConvTranspose IOHW->HWIO, Linear (out,in)->(in,out).
+
+    partial=False (default): every flax leaf must resolve — used for
+    porting full checkpoints. partial=True: leaves whose torch key is
+    missing or shape-mismatched keep their current (init) value — the
+    filtered `load_state_dict(strict=False)` semantics the reference uses
+    for pretrained initialization (ref: balldetection/models/vitpose.py:
+    59-69, wasb.py:580-582); returns (variables, n_loaded, n_total).
     """
     import jax
 
@@ -133,16 +141,67 @@ def port_cnn_state_dict(state_dict: Mapping[str, Any], flax_variables) -> Dict[s
             return flat_torch[tname]
 
     out = {}
+    n_loaded = n_total = 0
     for collection, tree in flax_variables.items():
         flat = jax.tree_util.tree_flatten_with_path(tree)[0]
         new = {}
         for path, leaf in flat:
             parts = tuple(getattr(p, "key", getattr(p, "idx", None)) for p in path)
-            val = convert(parts, leaf, collection)
-            assert val.shape == leaf.shape, (parts, val.shape, leaf.shape)
+            n_total += 1
+            if partial:
+                try:
+                    val = convert(parts, leaf, collection)
+                except (KeyError, ValueError):
+                    _set_path(new, parts, leaf)
+                    continue
+                if val.shape != leaf.shape:
+                    _set_path(new, parts, leaf)
+                    continue
+                n_loaded += 1
+            else:
+                val = convert(parts, leaf, collection)
+                assert val.shape == leaf.shape, (parts, val.shape, leaf.shape)
             _set_path(new, parts, val.astype(np.float32))
         out[collection] = new
+    if partial:
+        return out, n_loaded, n_total
     return out
+
+
+def torch_init_detector(flax_variables, state_dict: Mapping[str, Any],
+                        model_name: str, in_frames: int = 3):
+    """Initialize a detector from the reference's raw pretrained weights
+    (`initialization/wasb/model.pth` for the HRNet family,
+    `initialization/vitpose/mae_pretrain_vit_<size>.pth['model']` for
+    ViTPose), replicating the reference's two-step recipe:
+
+    1. name+shape-filtered load into the single-frame backbone
+       (ref: wasb.py:580-582, tabledetection/models/hrnet.py:581-583,
+       vitpose.py:57-69 — `load_state_dict(strict=False)` after dropping
+       shape-mismatched keys);
+    2. widen the first conv to 3*in_frames input channels by tiling the
+       loaded weights / in_frames (ref: wasb.py:584-589, vitpose.py:71-78;
+       bias, where present, is kept).
+
+    `flax_variables` must hold REAL init values (not eval_shape structs):
+    unmatched leaves keep them. Returns (variables, n_loaded, n_total).
+    """
+    if model_name in ("wasb", "hrnet"):
+        prefix, first_conv = "model.", "conv1.weight"
+    elif model_name == "vitpose":
+        prefix, first_conv = "model.backbone.", "patch_embed.proj.weight"
+    else:
+        raise ValueError(
+            f"torch_init_detector supports wasb/hrnet/vitpose, got {model_name!r}"
+            " (segformer uses port_hf_segformer_backbone)")
+
+    sd = {}
+    for k, v in state_dict.items():
+        arr = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        if k == first_conv and in_frames != 1 and arr.ndim == 4 and arr.shape[1] == 3:
+            arr = np.concatenate([arr] * in_frames, axis=1) / in_frames
+        sd[prefix + k] = arr
+    return port_cnn_state_dict(sd, flax_variables, partial=True)
 
 
 def load_reference_checkpoint(path: str):
