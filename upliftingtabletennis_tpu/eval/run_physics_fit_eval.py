@@ -1,0 +1,172 @@
+"""Evaluate differentiable-physics trajectory fitting on held-out synthetic
+trajectories (3D + spin ground truth available).
+
+Protocol: take the TEST split of the datagen corpus, resample each
+trajectory to the 50 fps eval rate and project it through its stored sim
+camera (`data/synthetic.py:assemble_batch(train=False)` — exactly the
+uplifting eval conditions), optionally corrupt the 2D track with detection
+noise / dropout, then recover (r0, v0, w0) with `core.fitting` from the 2D
+track alone and score against the simulator's ground truth:
+
+* 3D position error (cm) over visible frames — the TT3D-style metric
+  (ref: inference/inference_uplifting.py:61-114);
+* spin class (sign of local w_y) accuracy + macro-F1 — the paper's spin
+  metric (ref: inference/inference_uplifting.py:164-206);
+* spin vector error (rad/s) on the observable transverse components;
+* 2D reprojection error px (the quantity the fit optimizes — sanity floor).
+
+The reference has no counterpart for this evaluation: its MuJoCo physics is
+not differentiable, so direct estimation is impossible there (see
+core/fitting.py). Usage:
+
+    python -m upliftingtabletennis_tpu.eval.run_physics_fit_eval \
+        --data_dir <.../syntheticdata> --n_traj 64 --noise_px 1.0
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def spin_metrics(pred_cls, gt_cls):
+    """Accuracy + macro-F1 over the 2-class spin labels (1.0 top / 2.0 back),
+    the reference's protocol (ref: inference/inference_uplifting.py:164-206)."""
+    pred = np.asarray(pred_cls)
+    gt = np.asarray(gt_cls)
+    acc = float(np.mean(pred == gt))
+    f1 = []
+    for c in (1.0, 2.0):
+        tp = np.sum((pred == c) & (gt == c))
+        fp = np.sum((pred == c) & (gt != c))
+        fn = np.sum((pred != c) & (gt == c))
+        f1.append(2.0 * tp / max(2.0 * tp + fp + fn, 1e-9))
+    return acc, float(np.mean(f1))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_dir", type=str, default=None,
+                   help="datagen corpus root (mode/direction npz shards); "
+                        "generated on the fly when omitted")
+    p.add_argument("--generate", type=int, default=128,
+                   help="per-mode count when generating data")
+    p.add_argument("--n_traj", type=int, default=64)
+    p.add_argument("--split", choices=["val", "test"], default="test")
+    p.add_argument("--noise_px", type=float, default=0.0,
+                   help="Gaussian detection noise added to the 2D track")
+    p.add_argument("--drop", type=float, default=0.0,
+                   help="probability of dropping each detection")
+    p.add_argument("--n_starts", type=int, default=32)
+    p.add_argument("--adam_steps", type=int, default=250)
+    p.add_argument("--lm_steps", type=int, default=12)
+    p.add_argument("--batch", type=int, default=16,
+                   help="rallies fitted per program (B*n_starts hypotheses)")
+    p.add_argument("--huber_px", type=float, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=str, default=None, help="JSON output path")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from upliftingtabletennis_tpu.core import fitting as F
+    from upliftingtabletennis_tpu.core import geometry as G
+    from upliftingtabletennis_tpu.data import synthetic as SYN
+    from upliftingtabletennis_tpu.train.run_uplifting import build_store
+
+    store, train_idx, val_idx = build_store(args)
+    if args.split == "test":
+        # test = everything outside the per-shard train/val splits
+        used = np.zeros(len(store), bool)
+        used[np.asarray(train_idx)] = True
+        used[np.asarray(val_idx)] = True
+        idx = np.nonzero(~used)[0]
+    else:
+        idx = np.asarray(val_idx)
+    rng = np.random.default_rng(args.seed)
+    if len(idx) > args.n_traj:
+        idx = rng.choice(idx, size=args.n_traj, replace=False)
+    idx = np.sort(idx)
+
+    arrays = jax.tree.map(jnp.asarray, store)
+    agg = {"err3d_cm": [], "reproj_px": [], "w_err": [], "pred_cls": [],
+           "gt_cls": [], "loss": []}
+    key = jax.random.PRNGKey(args.seed)
+
+    for b0 in range(0, len(idx), args.batch):
+        bidx = idx[b0 : b0 + args.batch]
+        if len(bidx) < args.batch:  # static shapes: pad by repeating
+            bidx = np.concatenate([bidx, bidx[: args.batch - len(bidx)]])[: args.batch]
+        n_real = min(args.batch, len(idx) - b0)
+        key, kb, kn, kd, kf = jax.random.split(key, 5)
+        batch = SYN.assemble_batch(kb, arrays, jnp.asarray(bidx), train=False)
+        obs = batch["r_img"]
+        mask = batch["mask"]
+        if args.noise_px > 0:
+            obs = obs + args.noise_px * jax.random.normal(kn, obs.shape)
+        if args.drop > 0:
+            keep = jax.random.uniform(kd, mask.shape) >= args.drop
+            mask = mask * keep.astype(mask.dtype)
+        res = F.fit_trajectory_batch(
+            obs, batch["times"], mask, batch["Mint"], batch["Mext"],
+            n_frames=500, key=kf, n_starts=args.n_starts,
+            adam_steps=args.adam_steps, lm_steps=args.lm_steps,
+            huber_px=args.huber_px,
+        )
+        m = np.asarray(batch["mask"])[:n_real]  # score on the CLEAN mask
+        gt3 = np.asarray(batch["r_world"])[:n_real]
+        fit3 = np.asarray(res.r_world)[:n_real]
+        err = np.linalg.norm(fit3 - gt3, axis=-1) * m
+        agg["err3d_cm"].extend((100.0 * err.sum(1) / np.maximum(m.sum(1), 1)).tolist())
+
+        proj = np.asarray(G.world2img(res.r_world, batch["Mext"][:, None],
+                                      batch["Mint"][:, None]))[:n_real]
+        obs_clean = np.asarray(batch["r_img"])[:n_real]
+        d2 = np.linalg.norm(proj - obs_clean, axis=-1) * m
+        agg["reproj_px"].extend((d2.sum(1) / np.maximum(m.sum(1), 1)).tolist())
+
+        gt_w = np.asarray(batch["rotation"])[:n_real]
+        fit_w = np.asarray(res.state0.w)[:n_real]
+        gt_local = np.asarray(G.transform_rotation_axes(
+            jnp.asarray(gt_w), jnp.asarray(gt3)))
+        pred_cls = np.asarray(F.spin_class_from_fit(res))[:n_real]
+        gt_cls = np.where(gt_local[:, 1] > 0, 1.0, 2.0)
+        agg["pred_cls"].extend(pred_cls.tolist())
+        agg["gt_cls"].extend(gt_cls.tolist())
+        # observable transverse spin error: compare local (y, z) components
+        fit_local = np.asarray(G.transform_rotation_axes(
+            jnp.asarray(fit_w), res.r_world))[:n_real]
+        agg["w_err"].extend(
+            np.linalg.norm(fit_local[:, 1:] - gt_local[:, 1:], axis=-1).tolist())
+        agg["loss"].extend(np.asarray(res.loss)[:n_real].tolist())
+        done = min(b0 + args.batch, len(idx))
+        print(f"[fit] {done}/{len(idx)}  "
+              f"err3d {np.mean(agg['err3d_cm']):.1f} cm  "
+              f"reproj {np.mean(agg['reproj_px']):.2f} px", flush=True)
+
+    acc, f1 = spin_metrics(agg["pred_cls"], agg["gt_cls"])
+    summary = {
+        "n_traj": len(agg["err3d_cm"]),
+        "noise_px": args.noise_px,
+        "drop": args.drop,
+        "err3d_cm_mean": float(np.mean(agg["err3d_cm"])),
+        "err3d_cm_median": float(np.median(agg["err3d_cm"])),
+        "reproj_px_mean": float(np.mean(agg["reproj_px"])),
+        "spin_acc": acc,
+        "spin_macro_f1": f1,
+        "w_transverse_err_mean": float(np.mean(agg["w_err"])),
+        "fit_loss_median": float(np.median(agg["loss"])),
+    }
+    print(json.dumps(summary))
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=1)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -626,6 +626,52 @@ class TableTennisPipeline:
     def calibrate_camera(self, keypoints):
         return TableDetector.calibrate_camera(np.asarray(keypoints))
 
+    def fit_physics(self, ball, times, Mint, Mext, *, init=None, **fit_kw):
+        """Training-free physics-exact alternative / refinement for the
+        uplifting stage: recover (r0, v0, w0) of ONE ball-flight segment by
+        differentiable-physics fitting of the filtered 2D detections
+        (core/fitting.py — no reference counterpart: MuJoCo is not
+        differentiable).
+
+        ball (T', 2) filtered detections in the 1920x1080 eval frame (the
+        `run_rally` output convention); times (T',) seconds; (Mint, Mext)
+        from `calibrate_camera`. `init=(spin_local, pos3d)` seeds the fit
+        with `predict`'s output (physics-polish mode). Returns
+        (spin_local (3,), positions_3d (T', 3), FitResult).
+        """
+        from upliftingtabletennis_tpu.core import fitting as FIT
+
+        ball = np.asarray(ball, np.float32)
+        times = np.asarray(times, np.float32)
+        mask = np.ones(len(ball), np.float32)
+        init_state = None
+        if init is not None:
+            spin_local, pos3d = init
+            if pos3d is not None and len(pos3d) >= 2:
+                v0 = (np.asarray(pos3d[1]) - np.asarray(pos3d[0])) / max(
+                    float(times[1] - times[0]), 1e-3
+                )
+                w_world = G.inverse_transform_rotation_axes(
+                    jnp.asarray(spin_local, jnp.float32),
+                    jnp.asarray(pos3d, jnp.float32),
+                )
+                init_state = FIT.BallState(
+                    r=jnp.asarray(pos3d[0], jnp.float32),
+                    v=jnp.asarray(v0, jnp.float32),
+                    w=w_world,
+                )
+        # static horizon per 0.25 s bucket: one compile per bucket, not per T
+        n_frames = int(np.ceil((float(times.max()) + 1e-3) / 0.25)) * 125 + 2
+        res = FIT.fit_trajectory(
+            jnp.asarray(ball), jnp.asarray(times), jnp.asarray(mask),
+            jnp.asarray(Mint, jnp.float32), jnp.asarray(Mext, jnp.float32),
+            n_frames=n_frames, init_state=init_state, **fit_kw,
+        )
+        spin_local = np.asarray(
+            G.transform_rotation_axes(res.state0.w, res.r_world)
+        )
+        return spin_local, np.asarray(res.r_world), res
+
     @staticmethod
     def reproject(positions_3d, Mint, Mext):
         """3D world -> 2D pixels (ref: interface.py:296-312)."""
