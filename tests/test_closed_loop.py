@@ -15,6 +15,10 @@ def test_closed_loop_protocol(tmp_path):
     res = CL.main([
         "--out", str(tmp_path), "--train_steps", "2", "--batch_size", "2",
         "--n_eval", "2", "--render_res", "192", "112",
+        # keep the physics-fit arm enabled so its wiring is exercised, but
+        # tiny (it only actually runs when RANSAC calibration succeeds)
+        "--physfit_starts", "2", "--physfit_adam_steps", "3",
+        "--physfit_lm_steps", "1",
     ])
     assert res["n_rallies"] == 2
     # every metric field exists; values are finite when produced

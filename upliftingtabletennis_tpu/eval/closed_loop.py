@@ -332,8 +332,10 @@ def evaluate_pipeline(store, ckpts, args):
 
     ball_px_errs, table_px_errs, pos3d_errs = [], [], []
     spin_scores, spin_labels = [], []
+    pf_pos3d, pf_cls, pf_lbl = [], [], []
     n_valid_frames = 0
     n_evaluated = 0
+    n_pf_calib_fail = 0
     for j, ti in enumerate(test_idx):
         key = jax.random.PRNGKey(10_000 + int(ti))
         sample = assemble_j(
@@ -385,12 +387,44 @@ def evaluate_pipeline(store, ckpts, args):
         if out["pos3d"] is not None and len(out["pos3d"]) == len(vi):
             d3 = np.linalg.norm(out["pos3d"] - r_world[vi], axis=-1)
             pos3d_errs.append(d3)
+        w_local = np.asarray(
+            transform_rotation_axes(jnp.asarray(rotation), jnp.asarray(r_world))
+        )
         if out["spin"] is not None:
-            w_local = np.asarray(
-                transform_rotation_axes(jnp.asarray(rotation), jnp.asarray(r_world))
-            )
             spin_scores.append(float(out["spin"][1]))
             spin_labels.append(1.0 if w_local[1] > 0 else 2.0)
+
+        # physics-fit arm: the TRAINING-FREE pipeline — same detections and
+        # RANSAC-calibrated camera, but differentiable-physics fitting
+        # (core/fitting.py) instead of the uplifting network
+        if not args.skip_physics_fit and len(vi) >= 8:
+            from upliftingtabletennis_tpu.core import fitting as FIT
+
+            Mint_c, Mext_c, n_inl = pipe.calibrate_camera(out["table"])
+            if n_inl < 6:
+                n_pf_calib_fail += 1
+            else:
+                # pad to the 50-token protocol shape: one compile total
+                obs_p = np.zeros((50, 2), np.float32)
+                t_p = np.zeros(50, np.float32)
+                m_p = np.zeros(50, np.float32)
+                k = min(len(vi), 50)
+                obs_p[:k] = out["ball"][:k]
+                t_p[:k] = np.asarray(out["times"])[:k]
+                m_p[:k] = 1.0
+                fit = FIT.fit_trajectory(
+                    obs_p, t_p, m_p, Mint_c, Mext_c, n_frames=500,
+                    n_starts=args.physfit_starts,
+                    adam_steps=args.physfit_adam_steps,
+                    lm_steps=args.physfit_lm_steps,
+                    huber_px=20.0, key=jax.random.PRNGKey(j),
+                )
+                d3f = np.linalg.norm(
+                    np.asarray(fit.r_world)[:k] - r_world[vi[:k]], axis=-1
+                )
+                pf_pos3d.append(d3f)
+                pf_cls.append(float(np.asarray(FIT.spin_class_from_fit(fit))))
+                pf_lbl.append(1.0 if w_local[1] > 0 else 2.0)
 
     res = {
         "n_rallies": int(n_evaluated),
@@ -406,6 +440,20 @@ def evaluate_pipeline(store, ckpts, args):
         sm = spin_classification_metrics(np.asarray(spin_scores), np.asarray(spin_labels))
         res["spin_accuracy"] = sm["accuracy"]
         res["spin_macro_f1"] = sm["macro_f1"]
+    if pf_pos3d:
+        res["physfit_pos3d_err_cm_mean"] = float(100 * np.mean(np.concatenate(pf_pos3d)))
+        res["physfit_pos3d_err_cm_median"] = float(100 * np.median(np.concatenate(pf_pos3d)))
+        res["physfit_n_calib_fail"] = int(n_pf_calib_fail)
+        pred = np.asarray(pf_cls)
+        gt = np.asarray(pf_lbl)
+        res["physfit_spin_accuracy"] = float(np.mean(pred == gt))
+        f1 = []
+        for c in (1.0, 2.0):
+            tp = np.sum((pred == c) & (gt == c))
+            fp = np.sum((pred == c) & (gt != c))
+            fn = np.sum((pred != c) & (gt == c))
+            f1.append(2.0 * tp / max(2.0 * tp + fp + fn, 1e-9))
+        res["physfit_spin_macro_f1"] = float(np.mean(f1))
     return res
 
 
@@ -426,6 +474,11 @@ def main(argv=None):
     p.add_argument("--uplifting_checkpoint", type=str, default=None)
     p.add_argument("--skip_train", action="store_true",
                    help="reuse checkpoints already in --out")
+    p.add_argument("--skip_physics_fit", action="store_true",
+                   help="skip the training-free differentiable-physics arm")
+    p.add_argument("--physfit_starts", type=int, default=24)
+    p.add_argument("--physfit_adam_steps", type=int, default=250)
+    p.add_argument("--physfit_lm_steps", type=int, default=10)
     args = p.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
 
