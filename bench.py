@@ -290,9 +290,10 @@ def wait_for_tpu(max_wait_s=900):
     raises UNAVAILABLE). Probe in a SUBPROCESS — an in-process init failure
     can stick to the jax backend cache — and give the tunnel up to
     max_wait_s to come back before running the bench. Returns True when a
-    probe matmul round-trips; on timeout the bench proceeds anyway and
-    fails with the real backend error (no JSON is printed — an honest
-    no-measurement beats a fabricated one)."""
+    probe matmul round-trips; on timeout the bench exits non-zero without
+    printing JSON (an honest no-measurement beats a fabricated one, and a
+    first backend touch against the dead tunnel can hang FOREVER rather
+    than error — never enter jax in-process after a failed probe)."""
     import subprocess
     import sys
 
@@ -317,7 +318,12 @@ def wait_for_tpu(max_wait_s=900):
 
 
 def main():
-    wait_for_tpu()
+    if not wait_for_tpu():
+        import sys
+
+        print("bench: TPU tunnel unavailable after max_wait_s; no measurement",
+              file=sys.stderr)
+        sys.exit(1)
     fps, breakdown = pipeline_fps()
     ratio = uplifting_ratio_vs_torch_cpu()
     breakdown["datagen_trajectories_per_sec"] = datagen_tps()
