@@ -178,6 +178,17 @@ def test_tt3d_loader_and_eval(tmp_path, traj_data):
     mean_cm, std_cm = res[("back", True)]
     assert np.isfinite(mean_cm) and mean_cm > 0
 
+    # the physics-fit arm runs the SAME protocol on the same layout
+    import argparse
+
+    from upliftingtabletennis_tpu.eval.run_physics_fit_eval import eval_tt3d_fit
+
+    fres = eval_tt3d_fit(argparse.Namespace(
+        tt3d_dir=str(base), n_starts=2, adam_steps=2, lm_steps=1, batch=4,
+        huber_px=None, seed=0, out=None))
+    assert fres["back"]["n_traj"] == 4
+    assert np.isfinite(fres["back"]["err3d_cm_mean"])
+
 
 def test_make_synthetic_ttst_roundtrip(tmp_path):
     """The synthetic-TTST writer produces the layout load_ttst consumes

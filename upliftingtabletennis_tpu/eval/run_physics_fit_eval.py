@@ -46,11 +46,84 @@ def spin_metrics(pred_cls, gt_cls):
     return acc, float(np.mean(f1))
 
 
+def eval_tt3d_fit(args):
+    """TT3D protocol (3D position error cm per view x noise,
+    ref: inference/inference_uplifting.py:61-114) with the physics fitter in
+    place of the uplifting network: same loader, same camera composition,
+    same per-rally masked-mean metric as eval/run_uplifting_eval.eval_tt3d —
+    directly comparable to the model's per-view table."""
+    import jax
+    import jax.numpy as jnp
+
+    from upliftingtabletennis_tpu.core import fitting as F
+    from upliftingtabletennis_tpu.data.tt3d import load_tt3d
+
+    # one static horizon across all views -> one compiled program total
+    n_frames = 0
+    loaded = {}
+    for noise in (True, False):
+        for view in ("back", "side", "oblique"):
+            try:
+                d = load_tt3d(args.tt3d_dir, view, noise)
+            except FileNotFoundError:
+                continue
+            loaded[(view, noise)] = d
+            n_frames = max(n_frames, int(np.ceil(
+                float((d.times * d.mask).max()) * 500.0)) + 4)
+
+    key = jax.random.PRNGKey(args.seed)
+    results = {}
+    for (view, noise), d in loaded.items():
+        w = 2.0 * float(d.Mint[0, 0, 2])
+        h = 2.0 * float(d.Mint[0, 1, 2])
+        obs = d.r_img * np.array([w, h], np.float32)  # back to pixels
+        errs = []
+        N = len(d)
+        for b0 in range(0, N, args.batch):
+            bidx = np.arange(b0, min(b0 + args.batch, N))
+            n_real = len(bidx)
+            if n_real < args.batch:  # static shapes: pad by repeating
+                bidx = np.concatenate(
+                    [bidx, bidx[: args.batch - n_real]])[: args.batch]
+            key, kf = jax.random.split(key)
+            res = F.fit_trajectory_batch(
+                jnp.asarray(obs[bidx]), jnp.asarray(d.times[bidx]),
+                jnp.asarray(d.mask[bidx]), jnp.asarray(d.Mint[bidx]),
+                jnp.asarray(d.Mext[bidx]), n_frames=n_frames, key=kf,
+                n_starts=args.n_starts, adam_steps=args.adam_steps,
+                lm_steps=args.lm_steps, huber_px=args.huber_px,
+            )
+            m = d.mask[bidx][:n_real]
+            err = np.linalg.norm(
+                np.asarray(res.r_world)[:n_real] - d.r_world[bidx][:n_real],
+                axis=-1) * m
+            errs.extend((err.sum(1) / np.maximum(m.sum(1), 1)).tolist())
+        name = view if noise else f"{view}_no_noise"
+        results[name] = {
+            "err3d_cm_mean": float(100 * np.mean(errs)),
+            "err3d_cm_std": float(100 * np.std(errs)),
+            "err3d_cm_median": float(100 * np.median(errs)),
+            "n_traj": len(errs),
+        }
+        print(f"[tt3d-fit] {name}: {results[name]['err3d_cm_mean']:.1f} cm "
+              f"(median {results[name]['err3d_cm_median']:.1f})", flush=True)
+
+    print(json.dumps(results))
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+    return results
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--data_dir", type=str, default=None,
                    help="datagen corpus root (mode/direction npz shards); "
                         "generated on the fly when omitted")
+    p.add_argument("--tt3d_dir", type=str, default=None,
+                   help="run the TT3D view x noise protocol instead of the "
+                        "datagen corpus (same metric as eval_tt3d)")
     p.add_argument("--generate", type=int, default=128,
                    help="per-mode count when generating data")
     p.add_argument("--n_traj", type=int, default=64)
@@ -68,6 +141,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default=None, help="JSON output path")
     args = p.parse_args(argv)
+
+    if args.tt3d_dir:
+        return eval_tt3d_fit(args)
 
     import jax
     import jax.numpy as jnp
