@@ -105,6 +105,9 @@ def _pipeline_from(ball_ckpt, table_ckpt, uplifting_checkpoint, model_res, chunk
     if uplifting_checkpoint:
         pipe.uplifting_model = UpliftingModel(uplifting_checkpoint)
     else:
+        print("[closed_loop] WARNING: no --uplifting_checkpoint — the uplifting "
+              "arm runs RANDOM-INIT weights; its 3D/spin numbers are noise "
+              "(the physics-fit arm is unaffected)", flush=True)
         pipe.uplifting_model = UpliftingModel(name="connectstage", size="small")
     pipe.KEYPOINT_VISIBLE = 1
     return pipe
@@ -175,7 +178,7 @@ def train_detectors(store, args):
         return images, coords, vis
 
     results = {}
-    for task in ("ball", "table"):
+    for task in args.tasks:
         model_name = "wasb" if task == "ball" else "hrnet"
         model, _ = get_detector(model_name, task, train=True, remat=True)
         n_ch = 9 if task == "ball" else 3
@@ -436,6 +439,13 @@ def evaluate_pipeline(store, ckpts, args):
         "pos3d_err_cm_mean": float(100 * np.mean(np.concatenate(pos3d_errs))) if pos3d_errs else None,
         "pos3d_err_cm_median": float(100 * np.median(np.concatenate(pos3d_errs))) if pos3d_errs else None,
     }
+    # PCK@k in 1920x1080 eval px — the reference's detection metric family
+    # (ref: inference/inference_balldetection.py:103-111)
+    for name, errs in (("ball", ball_px_errs), ("table", table_px_errs)):
+        if errs:
+            e = np.concatenate(errs)
+            for k in (2, 5, 10, 20):
+                res[f"{name}_pck@{k}"] = float(np.mean(e <= k))
     if spin_scores:
         sm = spin_classification_metrics(np.asarray(spin_scores), np.asarray(spin_labels))
         res["spin_accuracy"] = sm["accuracy"]
@@ -474,6 +484,9 @@ def main(argv=None):
     p.add_argument("--uplifting_checkpoint", type=str, default=None)
     p.add_argument("--skip_train", action="store_true",
                    help="reuse checkpoints already in --out")
+    p.add_argument("--tasks", type=str, default="ball,table",
+                   help="comma-separated detector tasks to (re)train; tasks "
+                        "not listed reuse the checkpoint already in --out")
     p.add_argument("--skip_physics_fit", action="store_true",
                    help="skip the training-free differentiable-physics arm")
     p.add_argument("--physfit_starts", type=int, default=24)
@@ -484,10 +497,10 @@ def main(argv=None):
 
     store = _load_store(args.data_dir)
     print(f"[data] {len(store)} trajectories")
-    if args.skip_train:
-        ckpts = {t: os.path.join(args.out, f"{t}_detector") for t in ("ball", "table")}
-    else:
-        ckpts = train_detectors(store, args)
+    ckpts = {t: os.path.join(args.out, f"{t}_detector") for t in ("ball", "table")}
+    if not args.skip_train:
+        args.tasks = [t.strip() for t in args.tasks.split(",") if t.strip()]
+        ckpts.update(train_detectors(store, args))
     res = evaluate_pipeline(store, ckpts, args)
     print(json.dumps(res, indent=2))
     with open(os.path.join(args.out, "closed_loop_results.json"), "w") as f:
