@@ -33,3 +33,22 @@ def reference_path():
     if not REFERENCE.exists():
         pytest.skip("reference repo not available")
     return REFERENCE
+
+
+@pytest.fixture(autouse=True)
+def _reference_import_hygiene():
+    """Keep reference-parity imports from shadowing repo modules.
+
+    Several parity tests `sys.path.insert(0, '/root/reference')` to import
+    reference packages. Without cleanup, a later `import hubconf` resolves to
+    the REFERENCE's hubconf (which tries a network download). After every
+    test, strip reference path entries and evict any module imported from
+    under the reference tree.
+    """
+    yield
+    ref = str(REFERENCE)
+    sys.path[:] = [p for p in sys.path if not p.startswith(ref)]
+    for name, mod in list(sys.modules.items()):
+        modfile = getattr(mod, "__file__", None) or ""
+        if modfile.startswith(ref):
+            del sys.modules[name]

@@ -6,6 +6,7 @@ ref: balldetection/helper_balldetection.py:510-529), runs
 `port_reference_weights.main`, then loads the Orbax output through this
 framework's own loaders and pins output parity against the torch originals.
 """
+import re
 import sys
 
 import numpy as np
@@ -20,6 +21,152 @@ from upliftingtabletennis_tpu.utils.checkpoint import (
 # small spatial size keeps the torch forwards fast; vitpose's pos_embed is
 # resolution-dependent so its fake checkpoint declares this resolution too
 H, W = 64, 96
+
+
+def _hf_to_mmseg(hf_sd):
+    """Rename a HuggingFace `SegformerModel` encoder state dict into the
+    mmsegmentation `MixVisionTransformer` tensor naming that the external
+    `KieDani/SegformerPlusPlus` hub model (an mmseg fork) saves under the
+    reference wrapper's `model.` prefix (ref: balldetection/models/
+    segformer_pp.py:12-19). HF implements the same MiT compute, so the
+    renamed dict is a faithful stand-in for a real segformerpp checkpoint:
+    same math, external tensor layout (incl. the packed
+    nn.MultiheadAttention in_proj and the Conv2d-1x1 MixFFN layers)."""
+    import torch
+
+    out = {}
+    for k, v in hf_sd.items():
+        k = k.replace("segformer.", "")
+        if not k.startswith("encoder."):
+            continue
+        k = k[len("encoder."):]
+        if m := re.match(r"patch_embeddings\.(\d+)\.(.+)", k):
+            s, rest = m.group(1), m.group(2)
+            rest = rest.replace("proj.", "projection.").replace("layer_norm.", "norm.")
+            out[f"model.backbone.layers.{s}.0.{rest}"] = v
+        elif m := re.match(r"layer_norm\.(\d+)\.(.+)", k):
+            out[f"model.backbone.layers.{m.group(1)}.2.{m.group(2)}"] = v
+        elif m := re.match(r"block\.(\d+)\.(\d+)\.(.+)", k):
+            s, b, rest = m.groups()
+            pre = f"model.backbone.layers.{s}.1.{b}."
+            if rest.startswith("layer_norm_1."):
+                out[pre + "norm1." + rest.split(".", 1)[1]] = v
+            elif rest.startswith("layer_norm_2."):
+                out[pre + "norm2." + rest.split(".", 1)[1]] = v
+            elif rest.startswith("attention.self.query."):
+                pass  # packed below
+            elif rest.startswith("attention.self.key.") or rest.startswith(
+                    "attention.self.value."):
+                pass
+            elif rest.startswith("attention.output.dense."):
+                out[pre + "attn.attn.out_proj." + rest.rsplit(".", 1)[1]] = v
+            elif rest.startswith("attention.self.sr."):
+                out[pre + "attn.sr." + rest.rsplit(".", 1)[1]] = v
+            elif rest.startswith("attention.self.layer_norm."):
+                out[pre + "attn.norm." + rest.rsplit(".", 1)[1]] = v
+            elif rest.startswith("mlp.dense1."):
+                suffix = rest.rsplit(".", 1)[1]
+                out[pre + "ffn.layers.0." + suffix] = (
+                    v[..., None, None] if suffix == "weight" else v)
+            elif rest.startswith("mlp.dwconv.dwconv."):
+                out[pre + "ffn.layers.1." + rest.rsplit(".", 1)[1]] = v
+            elif rest.startswith("mlp.dense2."):
+                suffix = rest.rsplit(".", 1)[1]
+                out[pre + "ffn.layers.4." + suffix] = (
+                    v[..., None, None] if suffix == "weight" else v)
+            else:
+                raise AssertionError(f"unmapped HF block key {k}")
+        else:
+            raise AssertionError(f"unmapped HF key {k}")
+
+    # pack q|k|v into nn.MultiheadAttention's in_proj layout
+    for k in list(hf_sd):
+        kk = k.replace("segformer.", "")
+        if m := re.match(r"encoder\.block\.(\d+)\.(\d+)\.attention\.self\.query\.(weight|bias)", kk):
+            s, b, kind = m.groups()
+            base = kk.rsplit("query.", 1)[0]
+            packed = torch.cat([hf_sd[k],
+                                hf_sd[k.replace("query", "key")],
+                                hf_sd[k.replace("query", "value")]], dim=0)
+            out[f"model.backbone.layers.{s}.1.{b}.attn.attn.in_proj_{kind}"] = packed
+    return out
+
+
+def _mmseg_head_sd(dims, decoder_dim, out_channels, seed):
+    """Random mmseg `SegformerHead` tensors (ConvModule convs + fusion +
+    conv_seg), named as saved by the hub model."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    sd = {}
+
+    def convmodule(prefix, cin, cout):
+        sd[prefix + ".conv.weight"] = torch.randn(cout, cin, 1, 1, generator=g) * 0.05
+        sd[prefix + ".bn.weight"] = 1.0 + 0.1 * torch.randn(cout, generator=g)
+        sd[prefix + ".bn.bias"] = 0.1 * torch.randn(cout, generator=g)
+        sd[prefix + ".bn.running_mean"] = 0.1 * torch.randn(cout, generator=g)
+        sd[prefix + ".bn.running_var"] = 0.5 + torch.rand(cout, generator=g)
+        sd[prefix + ".bn.num_batches_tracked"] = torch.tensor(7)
+
+    for i, c in enumerate(dims):
+        convmodule(f"model.decode_head.convs.{i}", c, decoder_dim)
+    convmodule("model.decode_head.fusion_conv", decoder_dim * len(dims), decoder_dim)
+    sd["model.decode_head.conv_seg.weight"] = (
+        torch.randn(out_channels, decoder_dim, 1, 1, generator=g) * 0.05)
+    sd["model.decode_head.conv_seg.bias"] = 0.1 * torch.randn(out_channels, generator=g)
+    return sd
+
+
+def _mmseg_head_forward(sd, feats):
+    """Torch oracle of mmseg SegformerHead.forward: per-stage ConvModule
+    (conv->BN->ReLU), bilinear resize to stage-0 scale (align_corners
+    False), stage-order concat, fusion ConvModule, conv_seg."""
+    import torch
+    import torch.nn.functional as F
+
+    def convmodule(prefix, x):
+        x = F.conv2d(x, sd[prefix + ".conv.weight"])
+        x = F.batch_norm(x, sd[prefix + ".bn.running_mean"],
+                         sd[prefix + ".bn.running_var"],
+                         sd[prefix + ".bn.weight"], sd[prefix + ".bn.bias"],
+                         False, 0.1, 1e-5)
+        return F.relu(x)
+
+    outs = []
+    for i, f in enumerate(feats):
+        t = convmodule(f"model.decode_head.convs.{i}", f)
+        if i > 0:
+            t = F.interpolate(t, size=feats[0].shape[2:], mode="bilinear",
+                              align_corners=False)
+        outs.append(t)
+    x = convmodule("model.decode_head.fusion_conv", torch.cat(outs, dim=1))
+    return F.conv2d(x, sd["model.decode_head.conv_seg.weight"],
+                    sd["model.decode_head.conv_seg.bias"])
+
+
+def _make_segformerpp_checkpoint(num_channels, out_channels, classify, seed):
+    """(mmseg-named state dict, HF backbone model) for a fake reference
+    segformerpp_b2 checkpoint — real b2 geometry, random weights."""
+    import torch
+    from transformers import SegformerConfig, SegformerModel
+
+    torch.manual_seed(seed)
+    cfg = SegformerConfig(
+        num_channels=num_channels, num_encoder_blocks=4, depths=[3, 4, 6, 3],
+        sr_ratios=[8, 4, 2, 1], hidden_sizes=[64, 128, 320, 512],
+        patch_sizes=[7, 3, 3, 3], strides=[4, 2, 2, 2],
+        num_attention_heads=[1, 2, 5, 8], mlp_ratios=[4, 4, 4, 4],
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        drop_path_rate=0.0, layer_norm_eps=1e-6,
+    )
+    hf = SegformerModel(cfg).eval()
+    sd = _hf_to_mmseg(hf.state_dict())
+    sd.update(_mmseg_head_sd((64, 128, 320, 512), 768, out_channels, seed + 1))
+    if classify:
+        g = torch.Generator().manual_seed(seed + 2)
+        sd["visible_classification.weight"] = torch.randn(2, 512, generator=g) * 0.05
+        sd["visible_classification.bias"] = torch.zeros(2)
+    return sd, hf
 
 
 @pytest.fixture(scope="module")
@@ -100,14 +247,27 @@ def ported(reference_path, tmp_path_factory):
           "transform_mode": "global", "randdet_prob": 0.1,
           "randmiss_prob": 0.1, "tablemiss_prob": 0.1, "epoch": 1})
 
-    # segformerpp checkpoints carry the external hub repo's (unavailable)
-    # tensor naming — the CLI must skip them with a warning, not fail
-    save("inference_balldetection/segformerpp_b2", {"anything": torch.zeros(1)},
+    # segformerpp checkpoints: mmseg-layout state dicts (what the external
+    # KieDani/SegformerPlusPlus hub model saves) — real b2 geometry, random
+    # weights, built from an HF SegformerModel renamed to the mmseg tensor
+    # naming so torch output parity can be checked
+    sppb_sd, sppb_hf = _make_segformerpp_checkpoint(9, 1, classify=True, seed=3)
+    save("inference_balldetection/segformerpp_b2", sppb_sd,
          {"model_name": "segformerpp_b2", "in_frames": 3,
-          "image_resolution": (1600, 896)})
+          "image_resolution": (W, H), "lr": 1e-4, "epoch": 1})
+    sppt_sd, sppt_hf = _make_segformerpp_checkpoint(3, 13, classify=False, seed=4)
+    save("inference_tabledetection/segformerpp_b2", sppt_sd,
+         {"model_name": "segformerpp_b2",
+          "image_resolution": (W, H), "lr": 1e-4, "epoch": 1})
+    # a non-mmseg segformerpp dict must be SKIPPED loudly, not crash the CLI
+    save("pretraining_blurball/segformerpp_b0", {"anything": torch.zeros(1)},
+         {"model_name": "segformerpp_b0", "in_frames": 3,
+          "image_resolution": (1920, 1088)})
 
     results = PRW.main(["--src", str(src), "--dst", str(dst)])
-    return dst, results, {"wasb": wasb, "hrnet": thrnet, "vit": vit, "upl": upl}
+    return dst, results, {"wasb": wasb, "hrnet": thrnet, "vit": vit, "upl": upl,
+                          "spp_ball": (sppb_sd, sppb_hf),
+                          "spp_table": (sppt_sd, sppt_hf)}
 
 
 def test_statuses(ported):
@@ -116,7 +276,10 @@ def test_statuses(ported):
     assert results["inference_tabledetection/hrnet/model"] == "ok"
     assert results["inference_balldetection/vitpose/model"] == "ok"
     assert results["inference_uplifting/ours/model"] == "ok"
-    assert results["inference_balldetection/segformerpp_b2/model"].startswith(
+    assert results["inference_balldetection/segformerpp_b2/model"] == "ok"
+    assert results["inference_tabledetection/segformerpp_b2/model"] == "ok"
+    # fork-drift / non-mmseg layouts are skipped loudly, never silently
+    assert results["pretraining_blurball/segformerpp_b0/model"].startswith(
         "skipped")
     assert not any(s.startswith("FAILED") for s in results.values())
 
@@ -127,9 +290,17 @@ def test_hubconf_weights_root(ported):
     import hubconf
 
     ck = hubconf._checkpoints_from_root(str(dst))
-    # everything portable offline is wired up; the segformerpp mains are
-    # documented-unsupported (external hub naming) and stay absent
-    assert set(ck) == {"ball_aux", "table_aux", "uplifting"}
+    # ALL FIVE pipeline slots fill from a ported reference weights zip,
+    # incl. the segformerpp mains (the reference's hard-coded ensemble,
+    # ref: interface.py:255-260)
+    assert set(ck) == {"ball_main", "ball_aux", "table_main", "table_aux",
+                       "uplifting"}
+
+    pipe = hubconf.full_pipeline(weights_root=str(dst))
+    for det in (pipe.ball_detector, pipe.table_detector):
+        assert det._variables is not None
+        assert det.model.head_style == "mmseg"
+        assert det.model.decoder_dim == 768
 
 
 def _rel_err(a, b):
@@ -322,3 +493,49 @@ def test_uplifting_roundtrip_parity(ported):
     valid = mask.astype(bool)
     assert _rel_err(np.asarray(rot), ref_rot.numpy()) < 2e-2
     assert _rel_err(np.asarray(pos)[valid], ref_pos.numpy()[valid]) < 2e-2
+
+
+def _segformerpp_parity(ported, which, task, in_ch, classify, seed):
+    """Shared body: ported segformerpp_b2 checkpoint vs the torch oracle
+    (HF backbone forward + functional mmseg head on the saved tensors)."""
+    import torch
+
+    dst, _, models = ported
+    sd, hf = models[which]
+    sub = "inference_balldetection" if task == "ball" else "inference_tabledetection"
+    variables, _, info = load_checkpoint(str(dst / sub / "segformerpp_b2" / "model"))
+    assert info["flax_head_style"] == "mmseg" and info["decoder_dim"] == 768
+
+    from upliftingtabletennis_tpu.models.factory import get_detector
+
+    model, _ = get_detector("segformerpp_b2", task, in_frames=in_ch // 3,
+                            classify_invisible=classify,
+                            head_style="mmseg", decoder_dim=768)
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(1, in_ch, H, W)).astype(np.float32)
+    with torch.no_grad():
+        hs = hf(torch.tensor(x), output_hidden_states=True).hidden_states
+        ref_heat = _mmseg_head_forward(sd, list(hs)).numpy()
+    out, cls_out = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    out = np.asarray(out).transpose(0, 3, 1, 2)
+    assert out.shape == ref_heat.shape
+    assert _rel_err(out, ref_heat) < 2e-2
+    if classify:
+        with torch.no_grad():
+            pooled = hs[-1].mean(dim=(2, 3))
+            ref_cls = (pooled @ sd["visible_classification.weight"].T
+                       + sd["visible_classification.bias"]).numpy()
+        assert _rel_err(np.asarray(cls_out), ref_cls) < 2e-2
+    else:
+        assert cls_out is None
+
+
+def test_segformerpp_ball_output_parity(ported):
+    """The ported MAIN ball detector (ref: interface.py:255-256) reproduces
+    the external-hub torch model's heatmap AND visible-classification
+    outputs."""
+    _segformerpp_parity(ported, "spp_ball", "ball", 9, classify=True, seed=11)
+
+
+def test_segformerpp_table_output_parity(ported):
+    _segformerpp_parity(ported, "spp_table", "table", 3, classify=False, seed=12)

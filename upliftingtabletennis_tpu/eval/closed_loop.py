@@ -151,29 +151,41 @@ def train_detectors(store, args):
         t_mid = jnp.clip((u * (n_valid - 2)).astype(jnp.int32) + 1, 1, T - 2)
         bidx = jnp.arange(B)
 
-        table_px = rescale_px(table_img[..., :2], (UPL_W, UPL_H), (RW, RH))
-        ball_px_all = rescale_px(r_img, (UPL_W, UPL_H), (RW, RH))
+        table_px = rescale_px(table_img[..., :2], (UPL_W, UPL_H), (EVAL_W, EVAL_H))
+        ball_px_all = rescale_px(r_img, (UPL_W, UPL_H), (EVAL_W, EVAL_H))
 
         def render_one(k, b):
+            """Render at the EVAL resolution (1920x1080) and downscale to the
+            model input res through the pipeline's OWN resampling chain —
+            jax.image.resize bilinear/antialias=False == cv2.INTER_LINEAR
+            (image_transforms.host_downscale), + uint8 quantization. Round-2
+            trained on frames rendered DIRECTLY at model res: the renderer's
+            hard-thresholded ~1.4 px table lines then looked nothing like the
+            antialiased lines the eval-time 1080p->model downscale produces,
+            and the table detector collapsed (VERDICT round-2 weak #1)."""
             if task == "ball":
                 ts = jnp.stack([t_mid[b] - 1, t_mid[b], t_mid[b] + 1])
             else:
                 ts = t_mid[b][None]
             frames = render_frames(
                 k, ball_px_all[b, ts], mask[b, ts], table_px[b],
-                height=RH, width=RW,
+                height=EVAL_H, width=EVAL_W,
             )
+            if (RW, RH) != (EVAL_W, EVAL_H):
+                frames = jax.image.resize(
+                    frames.astype(jnp.float32),
+                    (frames.shape[0], RH, RW, 3), "bilinear", antialias=False,
+                )
+                frames = jnp.clip(jnp.round(frames), 0, 255)
             return jnp.concatenate([f for f in frames], axis=-1)  # (RH, RW, 3|9)
 
         keys = jax.random.split(k_n, B)
         images = jax.vmap(render_one)(keys, bidx)
         if task == "ball":
-            coords = rescale_px(
-                r_img[bidx, t_mid][:, None], (UPL_W, UPL_H), (EVAL_W, EVAL_H)
-            )  # (B, 1, 2) eval px
+            coords = ball_px_all[bidx, t_mid][:, None]  # (B, 1, 2) eval px
             vis = jnp.ones((B, 1))
         else:
-            coords = rescale_px(table_img[..., :2], (UPL_W, UPL_H), (EVAL_W, EVAL_H))
+            coords = table_px  # (B, 13, 2) eval px
             vis = table_img[..., 2]
         return images, coords, vis
 
@@ -333,9 +345,31 @@ def evaluate_pipeline(store, ckpts, args):
         ckpts["ball"], ckpts["table"], args.uplifting_checkpoint, tuple(args.render_res)
     )
 
+    from upliftingtabletennis_tpu.core import geometry as G
+
+    def calib_reproj_px(Mint_c, Mext_c, table_out):
+        """Mean reprojection error (px @1920x1080) of the calibrated camera
+        over the VISIBLE detected keypoints — the quality signal the
+        physics-fit arm gates on (n_inliers alone passed cameras whose
+        reprojections were hundreds of px off in the round-2 run)."""
+        vis = table_out[:, 2] > 0
+        if not vis.any():
+            return float("inf")
+        proj = np.asarray(
+            G.world2img(
+                jnp.asarray(G.TABLE_POINTS, jnp.float32),
+                jnp.asarray(Mext_c, jnp.float32),
+                jnp.asarray(Mint_c, jnp.float32),
+            )
+        )
+        d = np.linalg.norm(proj[vis] - table_out[vis, :2], axis=-1)
+        return float(np.mean(d))
+
     ball_px_errs, table_px_errs, pos3d_errs = [], [], []
+    table_kp_errs = [[] for _ in range(13)]
     spin_scores, spin_labels = [], []
     pf_pos3d, pf_cls, pf_lbl = [], [], []
+    calib_inliers, calib_reprojs = [], []
     n_valid_frames = 0
     n_evaluated = 0
     n_pf_calib_fail = 0
@@ -380,11 +414,22 @@ def evaluate_pipeline(store, ckpts, args):
             ball_px_errs.append(d)
             n_valid_frames += len(vi)
 
-        # table keypoint error vs ground truth
+        # table keypoint error vs ground truth (per keypoint too — a single
+        # aggregate was too coarse to localize the round-2 failure)
         vis_kp = out["table"][:, 2] > 0
         if vis_kp.any():
             dt = np.linalg.norm(out["table"][vis_kp, :2] - table_eval[vis_kp], axis=-1)
             table_px_errs.append(dt)
+            for kp in np.flatnonzero(vis_kp):
+                table_kp_errs[kp].append(
+                    float(np.linalg.norm(out["table"][kp, :2] - table_eval[kp]))
+                )
+
+        # calibration quality on EVERY rally (not just the physfit arm)
+        Mint_c, Mext_c, n_inl = pipe.calibrate_camera(out["table"])
+        reproj = calib_reproj_px(Mint_c, Mext_c, np.asarray(out["table"]))
+        calib_inliers.append(int(n_inl))
+        calib_reprojs.append(reproj)
 
         # 3D trajectory error vs physics, spin class vs physics
         if out["pos3d"] is not None and len(out["pos3d"]) == len(vi):
@@ -403,8 +448,11 @@ def evaluate_pipeline(store, ckpts, args):
         if not args.skip_physics_fit and len(vi) >= 8:
             from upliftingtabletennis_tpu.core import fitting as FIT
 
-            Mint_c, Mext_c, n_inl = pipe.calibrate_camera(out["table"])
-            if n_inl < 6:
+            # Gate on calibration QUALITY, not only inlier count: a camera
+            # with >= 6 inliers but tens-of-px reprojection error feeds the
+            # fitter a wrong projection model and the fit diverges to km
+            # scale (round-2 artifact; ADVICE.md #1).
+            if n_inl < 6 or reproj > args.physfit_max_calib_reproj_px:
                 n_pf_calib_fail += 1
             else:
                 # pad to the 50-token protocol shape: one compile total
@@ -436,11 +484,29 @@ def evaluate_pipeline(store, ckpts, args):
         "ball_detection_px_mean": float(np.mean(np.concatenate(ball_px_errs))) if ball_px_errs else None,
         "ball_detection_px_median": float(np.median(np.concatenate(ball_px_errs))) if ball_px_errs else None,
         "table_detection_px_mean": float(np.mean(np.concatenate(table_px_errs))) if table_px_errs else None,
+        "table_detection_px_median": float(np.median(np.concatenate(table_px_errs))) if table_px_errs else None,
+        "table_px_per_keypoint": [
+            (float(np.mean(e)) if e else None) for e in table_kp_errs
+        ],
+        "calib_n_inliers_mean": float(np.mean(calib_inliers)) if calib_inliers else None,
+        "calib_reproj_px_mean": (
+            float(np.mean([r for r in calib_reprojs if np.isfinite(r)]))
+            if any(np.isfinite(r) for r in calib_reprojs) else None
+        ),
+        "calib_reproj_px_median": (
+            float(np.median([r for r in calib_reprojs if np.isfinite(r)]))
+            if any(np.isfinite(r) for r in calib_reprojs) else None
+        ),
         "pos3d_err_cm_mean": float(100 * np.mean(np.concatenate(pos3d_errs))) if pos3d_errs else None,
         "pos3d_err_cm_median": float(100 * np.median(np.concatenate(pos3d_errs))) if pos3d_errs else None,
     }
-    # PCK@k in 1920x1080 eval px — the reference's detection metric family
-    # (ref: inference/inference_balldetection.py:103-111)
+    # PCK@k in 1920x1080 eval px. NOTE: ball PCK here is POINT-to-point
+    # distance to the physics ground truth — stricter than the reference's
+    # ball PCK, which measures distance to the annotated motion-blur STREAK
+    # segments (ref: helper_balldetection.py:227-230); synthetic GT has no
+    # blur annotation, so these are not directly comparable to
+    # reference-published PCK figures. Table PCK matches the reference
+    # definition (point keypoints, ref: inference_tabledetection.py:97-105).
     for name, errs in (("ball", ball_px_errs), ("table", table_px_errs)):
         if errs:
             e = np.concatenate(errs)
@@ -450,10 +516,14 @@ def evaluate_pipeline(store, ckpts, args):
         sm = spin_classification_metrics(np.asarray(spin_scores), np.asarray(spin_labels))
         res["spin_accuracy"] = sm["accuracy"]
         res["spin_macro_f1"] = sm["macro_f1"]
-    if pf_pos3d:
+    # Physics-fit arm: always report sample counts; error metrics are
+    # NULLED below a minimum sample count — n=2 "metrics" read as
+    # measurements when they are noise (ADVICE.md round-2 #1).
+    res["physfit_n_rallies"] = int(len(pf_pos3d))
+    res["physfit_n_calib_fail"] = int(n_pf_calib_fail)
+    if len(pf_pos3d) >= args.physfit_min_rallies:
         res["physfit_pos3d_err_cm_mean"] = float(100 * np.mean(np.concatenate(pf_pos3d)))
         res["physfit_pos3d_err_cm_median"] = float(100 * np.median(np.concatenate(pf_pos3d)))
-        res["physfit_n_calib_fail"] = int(n_pf_calib_fail)
         pred = np.asarray(pf_cls)
         gt = np.asarray(pf_lbl)
         res["physfit_spin_accuracy"] = float(np.mean(pred == gt))
@@ -464,6 +534,14 @@ def evaluate_pipeline(store, ckpts, args):
             fn = np.sum((pred != c) & (gt == c))
             f1.append(2.0 * tp / max(2.0 * tp + fp + fn, 1e-9))
         res["physfit_spin_macro_f1"] = float(np.mean(f1))
+    elif pf_pos3d:
+        print(f"[closed_loop] physfit ran on only {len(pf_pos3d)} rallies "
+              f"(< {args.physfit_min_rallies}) — error metrics withheld",
+              flush=True)
+        res["physfit_pos3d_err_cm_mean"] = None
+        res["physfit_pos3d_err_cm_median"] = None
+        res["physfit_spin_accuracy"] = None
+        res["physfit_spin_macro_f1"] = None
     return res
 
 
@@ -492,14 +570,40 @@ def main(argv=None):
     p.add_argument("--physfit_starts", type=int, default=24)
     p.add_argument("--physfit_adam_steps", type=int, default=250)
     p.add_argument("--physfit_lm_steps", type=int, default=10)
+    p.add_argument("--physfit_max_calib_reproj_px", type=float, default=10.0,
+                   help="skip the physics-fit arm when the calibrated "
+                        "camera's mean reprojection error exceeds this")
+    p.add_argument("--physfit_min_rallies", type=int, default=8,
+                   help="withhold physfit error metrics below this sample "
+                        "count (counts are always reported)")
     args = p.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
 
+    ckpts = {t: os.path.join(args.out, f"{t}_detector") for t in ("ball", "table")}
+    args.tasks = (
+        [] if args.skip_train
+        else [t.strip() for t in args.tasks.split(",") if t.strip()]
+    )
+    # Fail fast: a task that is NOT being retrained must already have a
+    # checkpoint in --out — otherwise a full training run burns before the
+    # missing-checkpoint load error surfaces (ADVICE.md round-2 #2).
+    missing = [t for t in ("ball", "table")
+               if t not in args.tasks and not os.path.isdir(ckpts[t])]
+    if missing:
+        raise SystemExit(
+            f"[closed_loop] no checkpoint in {args.out} for non-retrained "
+            f"task(s) {missing}; train them (--tasks {','.join(missing)}) "
+            f"or point --out at a directory that has them"
+        )
+    if args.uplifting_checkpoint and not os.path.exists(args.uplifting_checkpoint):
+        raise SystemExit(
+            f"[closed_loop] --uplifting_checkpoint {args.uplifting_checkpoint} "
+            "does not exist"
+        )
+
     store = _load_store(args.data_dir)
     print(f"[data] {len(store)} trajectories")
-    ckpts = {t: os.path.join(args.out, f"{t}_detector") for t in ("ball", "table")}
-    if not args.skip_train:
-        args.tasks = [t.strip() for t in args.tasks.split(",") if t.strip()]
+    if args.tasks:
         ckpts.update(train_detectors(store, args))
     res = evaluate_pipeline(store, ckpts, args)
     print(json.dumps(res, indent=2))

@@ -26,7 +26,8 @@ TABLE_MODELS = ("segformerpp_b0", "segformerpp_b2", "vitpose", "hrnet")
 
 
 def get_detector(name: str, task: str = "ball", in_frames: int = None, train: bool = False,
-                 classify_invisible: bool = False, remat: bool = False):
+                 classify_invisible: bool = False, remat: bool = False,
+                 head_style: str = "nvlabs", decoder_dim: int = 0):
     """Build a detector. Returns (model, (W, H) native resolution).
 
     task 'ball': 3-frame input, 1 heatmap channel (ref: balldetection).
@@ -34,6 +35,10 @@ def get_detector(name: str, task: str = "ball", in_frames: int = None, train: bo
     remat: per-block rematerialization for the HRNet family — identical
     params/outputs, ~10x lower activation memory in fwd+bwd (needed to
     train full-res HRNet on a 16 GB chip).
+    head_style/decoder_dim: SegFormer decode-head variant — "mmseg" (+ the
+    checkpoint's decoder width) reconstructs ported reference segformerpp
+    checkpoints (the external hub model is mmseg-based); the framework's
+    own training uses the default NVlabs head.
     """
     assert task in ("ball", "table")
     out_channels = 1 if task == "ball" else 13
@@ -42,7 +47,8 @@ def get_detector(name: str, task: str = "ball", in_frames: int = None, train: bo
 
     if name.startswith("segformerpp_"):
         size = name.split("_")[1]
-        model = SegFormerNet(out_channels, frames, size, classify_invisible, train)
+        model = SegFormerNet(out_channels, frames, size, classify_invisible, train,
+                             head_style=head_style, decoder_dim=decoder_dim)
     elif name == "vitpose":
         model = VitPoseNet(out_channels, frames, "small", train=train)
     elif name == "wasb":

@@ -333,11 +333,61 @@ class SegFormerHead(nn.Module):
         return nn.Conv(self.out_channels, (1, 1), name="conv_seg")(x)
 
 
+class MMSegHead(nn.Module):
+    """mmseg-style `SegformerHead` — the decode head of the EXTERNAL hub
+    model the reference actually runs (KieDani/SegformerPlusPlus is an
+    mmsegmentation fork; ref: balldetection/models/segformer_pp.py:12-19,
+    40-50). Differs from the NVlabs head (`SegFormerHead` above) by a
+    per-stage BN+ReLU after each 1x1 projection and a stage-ORDER concat:
+
+        conv_seg(relu(bn_f(fusion(concat_i resize(relu(bn_i(conv_i(f_i))))))))
+
+    Only used when loading ported reference `segformerpp_*` checkpoints
+    (utils/port_reference_weights.py) — the framework's own training keeps
+    the NVlabs head. Same resize/1x1 commute trick as SegFormerHead: the
+    fusion kernel's per-stage row block multiplies each stage at its OWN
+    resolution (ReLU happens before the resize in mmseg too, so the
+    restructure is exact up to float association)."""
+
+    out_channels: int
+    decoder_dim: int
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, feats):
+        D = self.decoder_dim
+        target_hw = feats[0].shape[1:3]
+        fuse = nn.Conv(D, (1, 1), use_bias=False, name="fusion_conv")
+        fuse(jnp.zeros((1, 1, 1, D * len(feats)), feats[0].dtype))
+        wf = self.get_variable("params", "fusion_conv")["kernel"].reshape(
+            len(feats) * D, D
+        )
+        acc = None
+        for i, f in enumerate(feats):
+            t = nn.Conv(D, (1, 1), use_bias=False, name=f"conv_{i}")(f)
+            t = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
+                             name=f"bn_{i}")(t)
+            t = nn.relu(t)
+            # mmseg concats in stage order 0..3 (SegformerHead.forward)
+            t = t @ wf[i * D : (i + 1) * D].astype(f.dtype)
+            if i > 0:
+                t = _resize_bilinear(t, target_hw)
+            acc = t if acc is None else acc + t
+        x = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
+                         name="fusion_bn")(acc)
+        x = nn.relu(x)
+        return nn.Conv(self.out_channels, (1, 1), name="conv_seg")(x)
+
+
 class SegFormerNet(nn.Module):
     """Ball (out=1, in_frames=3) / table (out=13, in_frames=1) detector.
 
     Input NHWC (B, H, W, 3*in_frames); output (heatmap (B, H/4, W/4, out),
     optional visible/invisible logits).
+
+    head_style "nvlabs" (default; the framework's own training) or "mmseg"
+    (the external hub model's head — required for ported reference
+    segformerpp checkpoints to reproduce reference outputs).
     """
 
     out_channels: int = 1
@@ -346,13 +396,19 @@ class SegFormerNet(nn.Module):
     classify_invisible: bool = False
     train: bool = False
     tome_ratio: float = 0.0  # SegFormer++ 'bsm_hq' token merging (0 = off)
+    head_style: str = "nvlabs"
+    decoder_dim: int = 0  # 0 = the size's CFG default; ported reference
+    # checkpoints override with the width found in the checkpoint itself
 
     @nn.compact
     def __call__(self, x):
         feats = MiTBackbone(self.model_size, 3 * self.in_frames, self.tome_ratio,
                             train=self.train, name="backbone")(x)
-        heat = SegFormerHead(
-            self.out_channels, CFG[self.model_size]["decoder_dim"], self.train, name="decode_head"
+        head_cls = {"nvlabs": SegFormerHead, "mmseg": MMSegHead}[self.head_style]
+        heat = head_cls(
+            self.out_channels,
+            self.decoder_dim or CFG[self.model_size]["decoder_dim"],
+            self.train, name="decode_head",
         )(feats)
         cls_out = None
         if self.classify_invisible:

@@ -69,8 +69,19 @@ class _Detector:
         if checkpoint is not None:
             from upliftingtabletennis_tpu.utils.checkpoint import load_checkpoint
 
-            variables, _, _ = load_checkpoint(checkpoint)
+            variables, _, info = load_checkpoint(checkpoint)
             self._variables = variables
+            if info.get("flax_head_style") == "mmseg":
+                # ported reference segformerpp checkpoint: rebuild with the
+                # external hub model's mmseg decode head (self-describing
+                # checkpoints, utils/port_reference_weights.py)
+                self.model, _ = get_detector(
+                    model_name, task, train=False,
+                    in_frames=info.get("in_frames"),
+                    classify_invisible=bool(info.get("classify_invisible")),
+                    head_style="mmseg",
+                    decoder_dim=int(info.get("decoder_dim", 0)),
+                )
         self._predict_chunk = None
         self._chunk_body = None
 

@@ -29,13 +29,16 @@ tests/test_port_reference_weights.py):
 * wasb / hrnet / vitpose detector checkpoints — port_cnn_state_dict, with
   the architecture reconstructed from `additional_info` exactly like the
   reference's own loaders (ref: inference/inference_balldetection.py:49-56);
-* segformerpp_* checkpoints are SKIPPED with a warning: their tensors are
-  named by the external `KieDani/SegformerPlusPlus` hub repo, which is not
-  vendored in the reference and not reachable offline, so no verified key
-  mapping exists. The ImageNet-pretrained MiT *backbone* initialization
-  path is covered separately by `port_torch.port_hf_segformer_backbone`
-  (HuggingFace `nvidia/mit-bN` naming, golden-tested in
-  tests/test_segformer_port.py).
+* segformerpp_* checkpoints — port_segformerpp_state_dict: the external
+  `KieDani/SegformerPlusPlus` hub model is mmsegmentation-based
+  (MixVisionTransformer + SegformerHead); its tensor layout maps onto
+  `SegFormerNet(head_style="mmseg")`, validated leaf-by-leaf against the
+  reconstructed model and output-parity-tested against a structural torch
+  replica (tests/test_port_reference_weights.py). Anything unrecognized
+  (fork drift) fails loudly with the offending keys. The
+  ImageNet-pretrained MiT *backbone* initialization path is covered
+  separately by `port_torch.port_hf_segformer_backbone` (HuggingFace
+  `nvidia/mit-bN` naming, golden-tested in tests/test_segformer_port.py).
 * `initialization/` raw state dicts (MAE ViT, WASB publish) are skipped:
   they are training-time init weights, not inference checkpoints; use
   `port_hf_segformer_backbone`/`port_cnn_state_dict` directly if needed.
@@ -104,11 +107,7 @@ def port_detector_checkpoint(pt_path: str, task: Optional[str] = None
     if name is None:
         raise UnsupportedCheckpoint(f"{pt_path}: no model_name in additional_info")
     if name.startswith("segformerpp"):
-        raise UnsupportedCheckpoint(
-            f"{pt_path}: segformerpp checkpoints use the external "
-            "KieDani/SegformerPlusPlus tensor naming (not vendored in the "
-            "reference); no verified offline mapping — see module docstring"
-        )
+        return _port_segformerpp_checkpoint(ckpt, name, task, pt_path)
 
     if task is None:
         # out channels of the final conv: ball heads emit 1 (wasb: 3 frames,
@@ -127,6 +126,71 @@ def port_detector_checkpoint(pt_path: str, task: Optional[str] = None
     x_spec = jax.ShapeDtypeStruct((1, res[1], res[0], 3 * in_frames), jnp.float32)
     var_shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x_spec)
     variables = port_cnn_state_dict(sd, var_shapes)
+    return variables, ckpt.get("identifier", ""), _json_safe(info), name
+
+
+def _port_segformerpp_checkpoint(ckpt, name, task, pt_path):
+    """segformerpp_* checkpoints: the external hub model is mmseg-based
+    (MixVisionTransformer backbone + SegformerHead) — map its tensor naming
+    onto SegFormerNet(head_style="mmseg") and VALIDATE the ported tree
+    leaf-by-leaf against the reconstructed model's shapes
+    (ref: balldetection/models/segformer_pp.py:12-50,
+    interface.py:255-260 — the pipeline's MAIN detectors)."""
+    import jax
+    import jax.numpy as jnp
+
+    from upliftingtabletennis_tpu.models.factory import (
+        DETECTOR_RESOLUTIONS, get_detector)
+    from upliftingtabletennis_tpu.utils.port_torch import (
+        UnmappedSegformerKeys, port_segformerpp_state_dict)
+
+    info = dict(ckpt.get("additional_info", {}))
+    sd = ckpt["model_state_dict"]
+    sd = {k: v for k, v in sd.items()}
+
+    fuse_key = "model.decode_head.fusion_conv.conv.weight"
+    seg_key = "model.decode_head.conv_seg.weight"
+    if fuse_key not in sd or seg_key not in sd:
+        raise UnsupportedCheckpoint(
+            f"{pt_path}: not an mmseg SegformerHead layout "
+            f"(missing {fuse_key!r}) — cannot port")
+    decoder_dim = int(sd[fuse_key].shape[0])
+    out_ch = int(sd[seg_key].shape[0])
+    if task is None:
+        task = "table" if out_ch == 13 else "ball"
+    classify = "visible_classification.weight" in sd
+    # first patch embed is already widened in the saved tensors
+    in_ch = int(sd["model.backbone.layers.0.0.projection.weight"].shape[1])
+    in_frames = max(1, in_ch // 3)
+    res = tuple(info.get("image_resolution", DETECTOR_RESOLUTIONS[name]))
+
+    try:
+        variables = port_segformerpp_state_dict(sd)
+    except UnmappedSegformerKeys as e:
+        raise UnsupportedCheckpoint(f"{pt_path}: {e}") from e
+
+    model, _ = get_detector(name, task, in_frames=in_frames,
+                            classify_invisible=classify,
+                            head_style="mmseg", decoder_dim=decoder_dim)
+    x_spec = jax.ShapeDtypeStruct((1, res[1], res[0], 3 * in_frames), jnp.float32)
+    var_shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x_spec)
+
+    got = {p: l.shape for p, l in
+           jax.tree_util.tree_flatten_with_path(variables)[0]}
+    want = {p: l.shape for p, l in
+            jax.tree_util.tree_flatten_with_path(var_shapes)[0]}
+    if got != want:
+        extra = sorted(set(got) - set(want))[:4]
+        missing = sorted(set(want) - set(got))[:4]
+        mism = sorted(p for p in got.keys() & want.keys()
+                      if got[p] != want[p])[:4]
+        raise UnsupportedCheckpoint(
+            f"{pt_path}: ported tree mismatches SegFormerNet(mmseg) — "
+            f"extra={extra} missing={missing} shape-mismatch={mism}")
+
+    info.update(flax_head_style="mmseg", decoder_dim=decoder_dim,
+                in_frames=in_frames, classify_invisible=classify,
+                model_name=name)
     return variables, ckpt.get("identifier", ""), _json_safe(info), name
 
 

@@ -217,6 +217,170 @@ def load_reference_checkpoint(path: str):
     return params, ckpt.get("additional_info", {})
 
 
+def port_segformerpp_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Port a reference `segformerpp_*` checkpoint state dict into flax
+    variables for `SegFormerNet(head_style="mmseg")`.
+
+    The reference's SegFormer++ wrapper holds an mmsegmentation-style model
+    from the external hub repo (ref: balldetection/models/segformer_pp.py:
+    12-19): `MixVisionTransformer` backbone (`model.backbone.layers.{s}` =
+    [PatchEmbed(.projection/.norm), blocks, stage LayerNorm]) + mmseg
+    `SegformerHead` (`model.decode_head.convs.{i}` ConvModules +
+    `fusion_conv` + `conv_seg`), with the wrapper's first-conv widening and
+    replaced conv_seg already baked into the saved tensors (segformer_pp.py:
+    32-50). The optional `visible_classification` linear ports too.
+
+    Key transforms beyond the usual conv/linear transposes:
+    * `attn.attn.in_proj_weight` ((3C, C) packed q|k|v of
+      nn.MultiheadAttention) -> separate `q` Dense + concatenated k|v `kv`
+      Dense (the framework's attention layout);
+    * MixFFN's Conv2d 1x1 fc1/fc2 -> Dense kernels; the 3x3 depthwise
+      positional conv -> DWConv3x3 kernel (3, 3, 1, C). FFN sublayers are
+      identified by SHAPE, not index, so dropout-free forks still port.
+
+    Returns {"params": ..., "batch_stats": ...}; raises
+    UnmappedSegformerKeys listing anything unrecognized.
+    """
+    params: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
+
+    def t(v):
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    sd = {k: t(v) for k, v in state_dict.items()
+          if not k.endswith("num_batches_tracked")}
+    unmapped = set(sd)
+
+    def take(key):
+        unmapped.discard(key)
+        return sd[key]
+
+    # ---- backbone ----
+    stage_ids = sorted({
+        int(m.group(1)) for k in sd
+        if (m := re.match(r"model\.backbone\.layers\.(\d+)\.", k))
+    })
+    for s in stage_ids:
+        pre = f"model.backbone.layers.{s}."
+        _set_path(params, ("backbone", f"patch_embed_{s}", "kernel"),
+                  take(pre + "0.projection.weight").transpose(2, 3, 1, 0))
+        _set_path(params, ("backbone", f"patch_embed_{s}", "bias"),
+                  take(pre + "0.projection.bias"))
+        _set_path(params, ("backbone", f"patch_norm_{s}", "scale"),
+                  take(pre + "0.norm.weight"))
+        _set_path(params, ("backbone", f"patch_norm_{s}", "bias"),
+                  take(pre + "0.norm.bias"))
+        _set_path(params, ("backbone", f"stage_norm_{s}", "scale"),
+                  take(pre + "2.weight"))
+        _set_path(params, ("backbone", f"stage_norm_{s}", "bias"),
+                  take(pre + "2.bias"))
+
+        blocks = sorted({
+            int(m.group(1)) for k in sd
+            if (m := re.match(re.escape(pre) + r"1\.(\d+)\.", k))
+        })
+        for b in blocks:
+            src = pre + f"1.{b}."
+            dst = ("backbone", f"stage{s}_block{b}")
+            for norm in ("norm1", "norm2"):
+                _set_path(params, dst + (norm, "scale"), take(src + norm + ".weight"))
+                _set_path(params, dst + (norm, "bias"), take(src + norm + ".bias"))
+            # packed qkv of nn.MultiheadAttention
+            w = take(src + "attn.attn.in_proj_weight")
+            bqkv = take(src + "attn.attn.in_proj_bias")
+            C = w.shape[1]
+            _set_path(params, dst + ("attn", "q", "kernel"), w[:C].T)
+            _set_path(params, dst + ("attn", "q", "bias"), bqkv[:C])
+            _set_path(params, dst + ("attn", "kv", "kernel"),
+                      np.concatenate([w[C:2 * C].T, w[2 * C:].T], axis=1))
+            _set_path(params, dst + ("attn", "kv", "bias"),
+                      np.concatenate([bqkv[C:2 * C], bqkv[2 * C:]]))
+            _set_path(params, dst + ("attn", "proj", "kernel"),
+                      take(src + "attn.attn.out_proj.weight").T)
+            _set_path(params, dst + ("attn", "proj", "bias"),
+                      take(src + "attn.attn.out_proj.bias"))
+            if src + "attn.sr.weight" in sd:
+                _set_path(params, dst + ("attn", "sr", "kernel"),
+                          take(src + "attn.sr.weight").transpose(2, 3, 1, 0))
+                _set_path(params, dst + ("attn", "sr", "bias"),
+                          take(src + "attn.sr.bias"))
+                _set_path(params, dst + ("attn", "sr_norm", "scale"),
+                          take(src + "attn.norm.weight"))
+                _set_path(params, dst + ("attn", "sr_norm", "bias"),
+                          take(src + "attn.norm.bias"))
+            # MixFFN sublayers by shape: 1x1 (hid, C), depthwise 3x3
+            # (hid, 1, 3, 3), 1x1 (C, hid)
+            ffn_ws = sorted(
+                k for k in sd
+                if re.fullmatch(re.escape(src) + r"ffn\.layers\.\d+\.weight", k)
+            )
+            fc1 = dw = fc2 = None
+            for k in ffn_ws:
+                a = sd[k]
+                if a.ndim == 4 and a.shape[1] == 1 and a.shape[2] == 3:
+                    dw = k
+                elif a.ndim == 4 and a.shape[0] >= a.shape[1]:
+                    fc1 = k
+                else:
+                    fc2 = k
+            if None in (fc1, dw, fc2):
+                raise UnmappedSegformerKeys(
+                    f"cannot identify MixFFN sublayers among {ffn_ws}")
+            _set_path(params, dst + ("ffn", "fc1", "kernel"),
+                      take(fc1)[:, :, 0, 0].T)
+            _set_path(params, dst + ("ffn", "fc1", "bias"),
+                      take(fc1[:-len("weight")] + "bias"))
+            _set_path(params, dst + ("ffn", "dwconv", "kernel"),
+                      take(dw).transpose(2, 3, 1, 0))
+            _set_path(params, dst + ("ffn", "dwconv", "bias"),
+                      take(dw[:-len("weight")] + "bias"))
+            _set_path(params, dst + ("ffn", "fc2", "kernel"),
+                      take(fc2)[:, :, 0, 0].T)
+            _set_path(params, dst + ("ffn", "fc2", "bias"),
+                      take(fc2[:-len("weight")] + "bias"))
+
+    # ---- decode head (mmseg SegformerHead) ----
+    def port_convmodule(src, dst_conv, dst_bn):
+        _set_path(params, dst_conv + ("kernel",),
+                  take(src + ".conv.weight").transpose(2, 3, 1, 0))
+        _set_path(params, dst_bn + ("scale",), take(src + ".bn.weight"))
+        _set_path(params, dst_bn + ("bias",), take(src + ".bn.bias"))
+        _set_path(batch_stats, dst_bn + ("mean",), take(src + ".bn.running_mean"))
+        _set_path(batch_stats, dst_bn + ("var",), take(src + ".bn.running_var"))
+
+    conv_ids = sorted({
+        int(m.group(1)) for k in sd
+        if (m := re.match(r"model\.decode_head\.convs\.(\d+)\.", k))
+    })
+    for i in conv_ids:
+        port_convmodule(f"model.decode_head.convs.{i}",
+                        ("decode_head", f"conv_{i}"), ("decode_head", f"bn_{i}"))
+    port_convmodule("model.decode_head.fusion_conv",
+                    ("decode_head", "fusion_conv"), ("decode_head", "fusion_bn"))
+    _set_path(params, ("decode_head", "conv_seg", "kernel"),
+              take("model.decode_head.conv_seg.weight").transpose(2, 3, 1, 0))
+    _set_path(params, ("decode_head", "conv_seg", "bias"),
+              take("model.decode_head.conv_seg.bias"))
+
+    if "visible_classification.weight" in sd:
+        _set_path(params, ("visible_classification", "kernel"),
+                  take("visible_classification.weight").T)
+        _set_path(params, ("visible_classification", "bias"),
+                  take("visible_classification.bias"))
+
+    if unmapped:
+        raise UnmappedSegformerKeys(
+            f"{len(unmapped)} unrecognized tensors, e.g. "
+            f"{sorted(unmapped)[:8]}")
+    return {"params": params, "batch_stats": batch_stats}
+
+
+class UnmappedSegformerKeys(RuntimeError):
+    """A segformerpp checkpoint contained tensors the mapping does not
+    recognize (fork drift) — reported with examples so the map can be
+    extended from the checkpoint itself."""
+
+
 def port_hf_segformer_backbone(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     """Port a HuggingFace `SegformerModel`/`SegformerForXxx` encoder state
     dict into the `models/segformer.py:MiTBackbone` parameter tree.
