@@ -162,7 +162,9 @@ def datagen_tps():
 
         from upliftingtabletennis_tpu.data.datagen import generate_candidates
 
-        n = 4096
+        # n=32768 saturates the chip (~250k candidates/s; 4096 paid ~40%
+        # per-program overhead — see PERF.md datagen section)
+        n = 32768
         cand = generate_candidates(jax.random.PRNGKey(0), n, "intermediate", "left_to_right")
         int(np.asarray(cand["accept"]).sum())  # warmup + force completion
         t0 = time.perf_counter()

@@ -202,10 +202,14 @@ def _bounce_impulse(v, w, normal, e_n, mu, fric_decay):
     Fitted to the MuJoCo constraint solver behavior (module docstring):
     normal restitution e_n; tangential slip u (contact-point velocity)
     reduced by `fric_decay` fraction, capped by the Coulomb cone; spin
-    updated by the rigid-body impulse relation.
+    updated by the rigid-body impulse relation. e_n / mu / fric_decay may
+    be scalars or per-element (...,) arrays (surface-selected contacts).
     """
-    e_n = jnp.asarray(e_n, v.dtype)
-    e_nk = e_n[..., None] if e_n.ndim else e_n  # broadcast against (..., 1)
+    def keep(a):
+        a = jnp.asarray(a, v.dtype)
+        return a[..., None] if a.ndim else a  # broadcast against (..., 1)
+
+    e_nk, muk, deck = keep(e_n), keep(mu), keep(fric_decay)
     v_n = jnp.sum(v * normal, axis=-1, keepdims=True)  # negative approaching
     v_t = v - v_n * normal
     # contact point at -R*normal: u = v_t + w x (-R n) (tangential part)
@@ -215,7 +219,7 @@ def _bounce_impulse(v, w, normal, e_n, mu, fric_decay):
     u_hat = u / jnp.maximum(u_norm, 1e-9)
 
     dv_t_mag = jnp.minimum(
-        fric_decay * u_norm / _SLIP_RATIO, mu * (1.0 + e_nk) * jnp.abs(v_n)
+        deck * u_norm / _SLIP_RATIO, muk * (1.0 + e_nk) * jnp.abs(v_n)
     )
     dv_t = -dv_t_mag * u_hat
 
@@ -228,32 +232,6 @@ def _bounce_impulse(v, w, normal, e_n, mu, fric_decay):
 _Z = jnp.array([0.0, 0.0, 1.0])
 
 
-def _handle_plane_bounce(r_old, state_new, z_contact, on_region, e_n,
-                         mu=FRICTION_MU, fric_decay=FRIC_DECAY):
-    """Branchless z-plane bounce: if the step crossed z_contact downward and
-    the (x, y) position is inside `on_region`, reflect at the crossing point.
-
-    r_old: (..., 3) pre-step position; state_new: post-step BallState.
-    e_n may be a per-element array (slip-dependent ground restitution).
-    """
-    r_new, v_new, w_new = state_new
-    crossed = (r_old[..., 2] >= z_contact) & (r_new[..., 2] < z_contact) & (v_new[..., 2] < 0)
-    hit = crossed & on_region
-
-    normal = jnp.broadcast_to(_Z, v_new.shape)
-    v_b, w_b = _bounce_impulse(v_new, w_new, normal, e_n, mu, fric_decay)
-    # reflect the overshoot below the plane
-    z_ref = z_contact + e_n * (z_contact - r_new[..., 2])
-    r_b = jnp.concatenate([r_new[..., :2], z_ref[..., None]], axis=-1)
-
-    hit_e = hit[..., None]
-    return BallState(
-        jnp.where(hit_e, r_b, r_new),
-        jnp.where(hit_e, v_b, v_new),
-        jnp.where(hit_e, w_b, w_new),
-    ), hit
-
-
 def _ground_restitution(v, w):
     """Slip-dependent floor restitution (see E_GROUND_* above)."""
     normal = jnp.broadcast_to(_Z, v.shape)
@@ -264,100 +242,94 @@ def _ground_restitution(v, w):
     return jnp.clip(E_GROUND_BASE + E_GROUND_SLIP * slip, E_GROUND_BASE, E_GROUND_MAX)
 
 
-def _handle_table_side_bounce(r_old, state_new):
-    """Bounces off the table box's four SIDE faces.
-
-    The reference table is a solid box reaching the floor
-    (ref: helper.py:100 — pos z=H/2, half-size H/2), so no under-table
-    space exists; a ball can strike the vertical faces below the top. Our
-    top-surface plane alone would let floor-bounced balls fly under the
-    table and register phantom hit intervals.
-    """
-    r_new, v_new, w_new = state_new
-    below_top = r_new[..., 2] < TABLE_HEIGHT
-
-    out = state_new
-    for axis, half, other_half in (
-        (0, TABLE_LENGTH / 2, TABLE_WIDTH / 2),
-        (1, TABLE_WIDTH / 2, TABLE_LENGTH / 2),
-    ):
-        r_new, v_new, w_new = out
-        c = half + BALL_RADIUS
-        other = 1 - axis
-        in_band = jnp.abs(r_new[..., other]) < other_half + BALL_RADIUS
-        s = jnp.sign(r_old[..., axis])
-        crossed = (
-            (jnp.abs(r_old[..., axis]) >= c)
-            & ((r_new[..., axis] - s * c) * s < 0)
-            & (v_new[..., axis] * s < 0)
-        )
-        hit = crossed & in_band & below_top
-        e = jnp.zeros(3).at[axis].set(1.0)
-        normal = s[..., None] * e
-        v_b, w_b = _bounce_impulse(v_new, w_new, normal, E_TABLE, FRICTION_MU, FRIC_DECAY)
-        a_ref = s * c - E_TABLE * (r_new[..., axis] - s * c)
-        r_b = jnp.where(
-            jnp.arange(3) == axis, a_ref[..., None], r_new
-        )
-        hit_e = hit[..., None]
-        out = BallState(
-            jnp.where(hit_e, r_b, r_new),
-            jnp.where(hit_e, v_b, v_new),
-            jnp.where(hit_e, w_b, w_new),
-        )
-    return out, None
-
-
-def _handle_net_bounce(r_old, state_new):
-    """Bounce off the net box faces at x = +-(half-thickness + ball radius)."""
-    r_new, v_new, w_new = state_new
-    x_contact = NET_HALF_THICKNESS + BALL_RADIUS
-    in_net_region = (
-        (jnp.abs(r_new[..., 1]) < NET_Y_HALF + BALL_RADIUS)
-        & (r_new[..., 2] < NET_Z_TOP + BALL_RADIUS)
-        & (r_new[..., 2] > NET_Z_BOTTOM - BALL_RADIUS)
-    )
-    s = jnp.sign(r_old[..., 0])  # +1 when approaching from the +x side
-    x_c = s * x_contact
-    crossed = (
-        (jnp.abs(r_old[..., 0]) >= x_contact)
-        & ((r_new[..., 0] - x_c) * s < 0)
-        & (v_new[..., 0] * s < 0)
-    )
-    hit = crossed & in_net_region
-
-    normal = s[..., None] * jnp.array([1.0, 0.0, 0.0])
-    v_b, w_b = _bounce_impulse(v_new, w_new, normal, E_NET, FRICTION_MU, FRIC_DECAY)
-    x_ref = x_c - E_NET * (r_new[..., 0] - x_c)
-    r_b = jnp.concatenate([x_ref[..., None], r_new[..., 1:]], axis=-1)
-
-    hit_e = hit[..., None]
-    return BallState(
-        jnp.where(hit_e, r_b, r_new),
-        jnp.where(hit_e, v_b, v_new),
-        jnp.where(hit_e, w_b, w_new),
-    ), hit
-
-
 def step(state: BallState, dt: float = DT) -> BallState:
-    """One physics step: implicit flight + event-based contacts."""
+    """One physics step: implicit flight + fused event-based contacts.
+
+    Contact surfaces (table top plane, the solid table box's four side
+    faces below the top — ref: helper.py:100, pos z=H/2 half-size H/2, no
+    under-table space — the floor, and the net box faces) are detected as
+    plane crossings of the post-flight state; at dt=1 ms at most one
+    surface can be crossed per substep (the planes are >= 4 cm apart at
+    ball speeds <= 40 m/s), so ONE surface is selected by priority and a
+    single `_bounce_impulse` + reflection executes. The earlier
+    one-handler-per-surface sequence ran 5 impulse maps + 5 masked state
+    rewrites every substep and made the contact phase ~as expensive as the
+    implicit flight solve (PERF.md datagen section).
+    """
     r, v, w = state
     v1, w1 = _implicit_velocity_update(v, w, dt)
     r1 = r + dt * v1
-    new = BallState(r1, v1, w1)
 
-    on_table = (jnp.abs(new.r[..., 0]) < TABLE_LENGTH / 2) & (
-        jnp.abs(new.r[..., 1]) < TABLE_WIDTH / 2
+    x0, y0 = r[..., 0], r[..., 1]
+    x, y, z = r1[..., 0], r1[..., 1], r1[..., 2]
+    z0 = r[..., 2]
+
+    # --- candidate hits on the raw post-flight state ---
+    hit_top = (
+        (z0 >= CONTACT_Z_TABLE) & (z < CONTACT_Z_TABLE) & (v1[..., 2] < 0)
+        & (jnp.abs(x) < TABLE_LENGTH / 2) & (jnp.abs(y) < TABLE_WIDTH / 2)
     )
-    new, _ = _handle_plane_bounce(r, new, CONTACT_Z_TABLE, on_table, E_TABLE)
-    new, _ = _handle_table_side_bounce(r, new)
-    new, _ = _handle_plane_bounce(
-        r, new, CONTACT_Z_GROUND, jnp.ones_like(on_table),
-        _ground_restitution(new.v, new.w), mu=GROUND_MU,
-        fric_decay=GROUND_FRIC_DECAY,
+    below_top = z < TABLE_HEIGHT
+    cx = TABLE_LENGTH / 2 + BALL_RADIUS
+    sx = jnp.sign(x0)
+    hit_sx = (
+        (jnp.abs(x0) >= cx) & ((x - sx * cx) * sx < 0) & (v1[..., 0] * sx < 0)
+        & (jnp.abs(y) < TABLE_WIDTH / 2 + BALL_RADIUS) & below_top
     )
-    new, _ = _handle_net_bounce(r, new)
-    return new
+    cy = TABLE_WIDTH / 2 + BALL_RADIUS
+    sy = jnp.sign(y0)
+    hit_sy = (
+        (jnp.abs(y0) >= cy) & ((y - sy * cy) * sy < 0) & (v1[..., 1] * sy < 0)
+        & (jnp.abs(x) < TABLE_LENGTH / 2 + BALL_RADIUS) & below_top
+    )
+    hit_gnd = (z0 >= CONTACT_Z_GROUND) & (z < CONTACT_Z_GROUND) & (v1[..., 2] < 0)
+    cn = NET_HALF_THICKNESS + BALL_RADIUS
+    sn = jnp.sign(x0)
+    hit_net = (
+        (jnp.abs(x0) >= cn) & ((x - sn * cn) * sn < 0) & (v1[..., 0] * sn < 0)
+        & (jnp.abs(y) < NET_Y_HALF + BALL_RADIUS)
+        & (z < NET_Z_TOP + BALL_RADIUS) & (z > NET_Z_BOTTOM - BALL_RADIUS)
+    )
+
+    # priority = the old sequential handler order
+    hit_sx &= ~hit_top
+    hit_sy &= ~(hit_top | hit_sx)
+    hit_gnd &= ~(hit_top | hit_sx | hit_sy)
+    hit_net &= ~(hit_top | hit_sx | hit_sy | hit_gnd)
+    hit_any = hit_top | hit_sx | hit_sy | hit_gnd | hit_net
+
+    # --- selected surface frame: axis one-hot, signed contact coord, normal
+    ax0 = hit_sx | hit_net  # x-axis faces
+    ax1 = hit_sy
+    onehot = jnp.stack(
+        [ax0, ax1, ~(ax0 | ax1)], axis=-1
+    ).astype(v1.dtype)  # (.., 3); z-plane is the default slot
+    sgn = jnp.where(ax0, jnp.where(hit_net, sn, sx), jnp.where(ax1, sy, 1.0))
+    c_sel = jnp.where(
+        hit_top, CONTACT_Z_TABLE,
+        jnp.where(hit_sx, sx * cx,
+                  jnp.where(hit_sy, sy * cy,
+                            jnp.where(hit_net, sn * cn, CONTACT_Z_GROUND))),
+    )
+    normal = sgn[..., None] * onehot
+
+    e_sel = jnp.where(hit_gnd, _ground_restitution(v1, w1),
+                      jnp.where(hit_net, E_NET, E_TABLE))
+    mu_sel = jnp.where(hit_gnd, GROUND_MU, FRICTION_MU)
+    dec_sel = jnp.where(hit_gnd, GROUND_FRIC_DECAY, FRIC_DECAY)
+
+    v_b, w_b = _bounce_impulse(v1, w1, normal, e_sel, mu_sel, dec_sel)
+    # reflect the overshoot past the contact plane on the selected axis
+    r_comp = jnp.sum(r1 * onehot, axis=-1)
+    r_ref = c_sel - e_sel * (r_comp - c_sel)
+    r_b = r1 * (1.0 - onehot) + r_ref[..., None] * onehot
+
+    hit_e = hit_any[..., None]
+    return BallState(
+        jnp.where(hit_e, r_b, r1),
+        jnp.where(hit_e, v_b, v1),
+        jnp.where(hit_e, w_b, w1),
+    )
 
 
 def simulate(
