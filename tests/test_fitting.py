@@ -138,3 +138,29 @@ def test_pipeline_fit_physics_warm_start():
     assert err_cm.mean() < 10.0, err_cm.mean()
     assert spin_fit.shape == (3,)
     assert np.sign(spin_fit[1]) == np.sign(np.asarray(spin_local)[1])
+
+
+def test_batch_fit_with_init_state():
+    """Batched physics-polish mode: an init_state seeded from (perturbed)
+    truth lets a tiny search budget converge where random starts could not
+    (the hybrid network-init path of run_physics_fit_eval --init_checkpoint)."""
+    obs_t, times, gt3_t, Mint, Mext = _observe(GT_TOP)
+    obs_b, _, gt3_b, _, _ = _observe(GT_BACK)
+    rng = np.random.default_rng(3)
+    seed = F.BallState(
+        r=jnp.stack([GT_TOP.r, GT_BACK.r]) + 0.03 * rng.normal(size=(2, 3)).astype(np.float32),
+        v=jnp.stack([GT_TOP.v, GT_BACK.v]) + 0.15 * rng.normal(size=(2, 3)).astype(np.float32),
+        w=jnp.stack([GT_TOP.w, GT_BACK.w]) * 0.7,  # biased spin magnitude
+    )
+    res = F.fit_trajectory_batch(
+        jnp.stack([obs_t, obs_b]), jnp.stack([times, times]),
+        jnp.ones((2, obs_t.shape[0])), jnp.stack([Mint, Mint]),
+        jnp.stack([Mext, Mext]), n_frames=N_FRAMES,
+        n_starts=3, adam_steps=40, lm_steps=6, key=jax.random.PRNGKey(0),
+        init_state=seed,
+    )
+    gt3 = np.stack([np.asarray(gt3_t), np.asarray(gt3_b)])
+    err_cm = 100 * np.linalg.norm(np.asarray(res.r_world) - gt3, axis=-1)
+    assert err_cm.mean() < 10.0, err_cm.mean()
+    cls = np.asarray(F.spin_class_from_fit(res))
+    assert cls[0] == 1.0 and cls[1] == 2.0

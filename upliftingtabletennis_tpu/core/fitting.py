@@ -370,13 +370,16 @@ def fit_trajectory_batch(
     substeps: int = int(round(1.0 / (FPS * DT))),
     dt: float = DT,
     huber_px: Optional[float] = None,
+    init_state: Optional[BallState] = None,
 ) -> FitResult:
     """Fit a whole batch of rallies in one program: obs (B, T, 2), times
     (B, T), mask (B, T), Mint (B, 3, 3), Mext (B, 4, 4). `n_frames` must be
     given (static) and cover every rally's max visible time. All B * n_starts
     hypotheses integrate together — the eval protocol's trajectory set runs
-    as one vmapped program instead of a per-rally loop. Returns a FitResult
-    of batched arrays (leading dim B)."""
+    as one vmapped program instead of a per-rally loop. `init_state` (fields
+    (B, 3)) seeds one start per rally with an external prediction (+ a
+    spin-flipped copy) — the physics-polish mode of `fit_trajectory`,
+    batched. Returns a FitResult of batched arrays (leading dim B)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     obs = jnp.asarray(obs, jnp.float32)
@@ -389,6 +392,19 @@ def fit_trajectory_batch(
     inits = jax.vmap(
         lambda k, o, t, m, Ki, Ke: default_inits(k, o, t, m, Ki, Ke, n_starts)
     )(keys, obs, times, mask, Mint, Mext)
+    if init_state is not None:
+        seed = BallState(*(jnp.asarray(a, jnp.float32) for a in init_state))
+        inits = BallState(
+            r=inits.r.at[:, 0].set(seed.r),
+            v=inits.v.at[:, 0].set(seed.v),
+            w=inits.w.at[:, 0].set(seed.w),
+        )
+        if n_starts >= 2:  # spin sign is the hard part: seed the flip too
+            inits = BallState(
+                r=inits.r.at[:, 1].set(seed.r),
+                v=inits.v.at[:, 1].set(seed.v),
+                w=inits.w.at[:, 1].set(-seed.w),
+            )
     q0 = _state_to_params(inits)  # (B, S, 9)
     run = partial(
         _run_fit, n_frames=n_frames, substeps=substeps, dt=dt,

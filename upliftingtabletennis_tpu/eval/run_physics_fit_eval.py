@@ -71,6 +71,35 @@ def eval_tt3d_fit(args):
             n_frames = max(n_frames, int(np.ceil(
                 float((d.times * d.mask).max()) * 500.0)) + 4)
 
+    predict = None
+    if args.init_checkpoint:
+        # hybrid mode: the uplifting network supplies the basin (r0, v0, w0
+        # from its predicted 3D track + spin), the physics fit supplies the
+        # precision — the fit_physics(init=...) polish, batched over the
+        # whole protocol (see pipeline/interface.py:fit_physics)
+        from upliftingtabletennis_tpu.core import geometry as G
+        from upliftingtabletennis_tpu.eval.run_uplifting_eval import load_uplifting
+
+        model, params, transform_mode = load_uplifting(args.init_checkpoint)
+
+        @jax.jit
+        def _fwd(ball, table, mask, times):
+            spin, pos = model.apply({"params": params}, ball, table, mask, times)
+            if transform_mode == "local":
+                spin = G.inverse_transform_rotation_axes(spin, pos)
+            return spin, pos  # world spin, world track
+
+        def predict(d, bidx):
+            w_world, pos = _fwd(
+                jnp.asarray(d.r_img[bidx]), jnp.asarray(d.table_img[bidx]),
+                jnp.asarray(d.mask[bidx]), jnp.asarray(d.times[bidx]),
+            )
+            dt01 = jnp.maximum(
+                jnp.asarray(d.times[bidx, 1] - d.times[bidx, 0]), 1e-3
+            )[:, None]
+            v0 = (pos[:, 1] - pos[:, 0]) / dt01
+            return F.BallState(r=pos[:, 0], v=v0, w=w_world)
+
     key = jax.random.PRNGKey(args.seed)
     results = {}
     for (view, noise), d in loaded.items():
@@ -92,6 +121,7 @@ def eval_tt3d_fit(args):
                 jnp.asarray(d.Mext[bidx]), n_frames=n_frames, key=kf,
                 n_starts=args.n_starts, adam_steps=args.adam_steps,
                 lm_steps=args.lm_steps, huber_px=args.huber_px,
+                init_state=predict(d, bidx) if predict else None,
             )
             m = d.mask[bidx][:n_real]
             err = np.linalg.norm(
@@ -124,6 +154,10 @@ def main(argv=None):
     p.add_argument("--tt3d_dir", type=str, default=None,
                    help="run the TT3D view x noise protocol instead of the "
                         "datagen corpus (same metric as eval_tt3d)")
+    p.add_argument("--init_checkpoint", type=str, default=None,
+                   help="uplifting checkpoint whose (spin, pos3d) prediction "
+                        "seeds every fit (hybrid network-init physics-polish "
+                        "mode; TT3D protocol only)")
     p.add_argument("--generate", type=int, default=128,
                    help="per-mode count when generating data")
     p.add_argument("--n_traj", type=int, default=64)
