@@ -98,7 +98,11 @@ def download_example_images(local_folder: str = "example_images",
     from upliftingtabletennis_tpu.core.geometry import HEIGHT as UPL_H, WIDTH as UPL_W
     from upliftingtabletennis_tpu.data import datagen as DG
     from upliftingtabletennis_tpu.data import synthetic as SYN
-    from upliftingtabletennis_tpu.data.render_rally import render_frames, rescale_px
+    from upliftingtabletennis_tpu.data.render_rally import (
+        project_context,
+        render_frames,
+        rescale_px,
+    )
 
     EVAL_W, EVAL_H = 1920, 1080
     key = jax.random.PRNGKey(seed)
@@ -113,10 +117,14 @@ def download_example_images(local_folder: str = "example_images",
     table_eval = rescale_px(
         sample["table_img"][0][:, :2], (UPL_W, UPL_H), (EVAL_W, EVAL_H)
     )
+    ctx_eval = rescale_px(
+        project_context(sample["Mint"][0], sample["Mext"][0]),
+        (UPL_W, UPL_H), (EVAL_W, EVAL_H),
+    )
     frames = np.asarray(
         render_frames(
             jax.random.PRNGKey(seed + 2), ball_eval[:T], jnp.asarray(mask[:T]),
-            table_eval, height=EVAL_H, width=EVAL_W,
+            table_eval, height=EVAL_H, width=EVAL_W, context_px=ctx_eval,
         )
     )
     for i, frame in enumerate(frames):

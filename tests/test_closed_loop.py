@@ -82,3 +82,57 @@ def test_render_rally_shapes_and_determinism():
     c = jnp.asarray([[10.0, 20.0]])
     r = rescale_px(rescale_px(c, (1920, 1080), (960, 540)), (960, 540), (1920, 1080))
     np.testing.assert_allclose(np.asarray(r), np.asarray(c), atol=1e-4)
+
+
+def test_render_rally_context_breaks_mirror_symmetry():
+    """The scene context (floor + asymmetric umpire/banner quads) must make
+    keypoint IDENTITY decidable from the image: a camera mirrored across the
+    net plane sees a genuinely different frame, not the mirror image that
+    made the round-2/3 table detectors collapse to 200+ px identity errors."""
+    import jax
+    import jax.numpy as jnp
+
+    from upliftingtabletennis_tpu.core.geometry import TABLE_POINTS, world2img
+    from upliftingtabletennis_tpu.data.render_rally import (
+        CONTEXT_QUADS_WORLD,
+        project_context,
+        render_frames,
+    )
+    from upliftingtabletennis_tpu.data.synthetic import sample_cameras
+
+    key = jax.random.PRNGKey(3)
+    Mint, Mext = sample_cameras(key, ())
+    table_px = world2img(jnp.asarray(TABLE_POINTS), Mext, Mint)
+    ctx = project_context(Mint, Mext)
+    assert ctx.shape == (3, 4, 2)
+    # both asymmetric markers sit on the floor near the table -> every vertex
+    # must land in front of the camera with finite pixel coords
+    assert bool(jnp.all(jnp.isfinite(ctx)))
+
+    W, H = 256, 144
+    sx, sy = W / 2560.0, H / 1440.0
+    scale = jnp.asarray([sx, sy])
+    ball = jnp.asarray([[-100.0, -100.0]])
+    vis = jnp.asarray([0.0])
+    f = render_frames(jax.random.PRNGKey(0), ball, vis, table_px * scale,
+                      height=H, width=W, context_px=ctx * scale)
+    # mirror the WORLD across the net plane (x -> -x): table projects
+    # identically up to keypoint relabeling, but the banner quad moves
+    mirror = jnp.asarray([-1.0, 1.0, 1.0])
+    tp_m = world2img(jnp.asarray(TABLE_POINTS) * mirror, Mext, Mint)
+    ctx_m = world2img(
+        jnp.asarray(CONTEXT_QUADS_WORLD.reshape(12, 3)) * mirror,
+        Mext[None], Mint[None],
+    ).reshape(3, 4, 2)
+    f_m = render_frames(jax.random.PRNGKey(0), ball, vis, tp_m * scale,
+                        height=H, width=W, context_px=ctx_m * scale)
+    # the x-mirrored scene renders the banner elsewhere -> frames differ in
+    # many pixels (a context-free render would be near-identical: the table
+    # point set is x-mirror symmetric)
+    diff = np.mean(np.any(np.asarray(f) != np.asarray(f_m), axis=-1))
+    assert diff > 0.005, diff
+    # colored markers present: red channel exceeds blue somewhere (umpire
+    # quad) and blue exceeds red somewhere (banner quad)
+    fi = np.asarray(f, np.int32)
+    assert (fi[..., 0] - fi[..., 2]).max() > 20
+    assert (fi[..., 2] - fi[..., 0]).max() > 20

@@ -30,6 +30,37 @@ from upliftingtabletennis_tpu.core.geometry import TABLE_CONNECTIONS
 _QUAD = (0, 1, 5, 4)
 _SEGS = np.asarray(TABLE_CONNECTIONS, np.int32)  # (14, 2)
 
+# World-anchored scene context (floor plane z=0): a court floor quad plus two
+# SMALL ASYMMETRIC markers — an umpire-table quad on the fixed +y side of the
+# net and an advertising-banner quad past the fixed +x table end. The bare
+# table+net is mirror-symmetric across both the net plane and the long
+# centerline, so from a context-free render the four corner IDENTITIES are
+# only decidable by line-pattern chirality — which heatmap detectors fail to
+# resolve (round-2/3 closed-loop collapse: corners localized to ~1 px but
+# assigned to the wrong channel, 200+ px identity errors). Real broadcast
+# frames carry abundant world-anchored context; these quads restore exactly
+# that cue. Extents stay within ~4.5 m of the origin so every vertex projects
+# in front of the sampled cameras (distance >= 7 m, camera height >= 3.1 m).
+CONTEXT_QUADS_WORLD = np.array(
+    [
+        [[-4.5, -3.0, 0], [4.5, -3.0, 0], [4.5, 3.0, 0], [-4.5, 3.0, 0]],  # floor
+        [[-0.5, 1.5, 0], [0.5, 1.5, 0], [0.5, 2.3, 0], [-0.5, 2.3, 0]],  # umpire +y
+        [[2.2, -0.6, 0], [3.2, -0.6, 0], [3.2, 0.6, 0], [2.2, 0.6, 0]],  # banner +x
+    ],
+    dtype=np.float32,
+)
+
+
+def project_context(Mint, Mext):
+    """Project CONTEXT_QUADS_WORLD through a camera -> (..., 3, 4, 2) px (at
+    the resolution Mint is expressed in). Broadcasts over leading camera
+    batch dims like geometry.world2img."""
+    from upliftingtabletennis_tpu.core.geometry import world2img
+
+    pts = jnp.asarray(CONTEXT_QUADS_WORLD).reshape(12, 3)
+    px = world2img(pts, Mext[..., None, :, :], Mint[..., None, :, :])
+    return px.reshape(*px.shape[:-2], 3, 4, 2)
+
 
 def _seg_dist2(px, py, a, b):
     """Squared distance of every pixel to segment a-b. px/py (H, W); a/b (2,)."""
@@ -57,12 +88,14 @@ def _inside_quad(px, py, quad):
 
 @partial(jax.jit, static_argnames=("height", "width"))
 def render_frames(key, ball_px, ball_vis, table_px, height: int = 1080,
-                  width: int = 1920):
+                  width: int = 1920, context_px=None):
     """Render a batch of frames.
 
     key: PRNG key (per-frame sensor noise);
     ball_px (B, 2) ball pixel positions; ball_vis (B,) {0,1};
     table_px (13, 2) projected table keypoints (shared; static camera);
+    context_px (3, 4, 2) projected CONTEXT_QUADS_WORLD (floor + two
+    asymmetric markers, see project_context) or None for the bare scene;
     -> (B, height, width, 3) uint8.
     """
     B = ball_px.shape[0]
@@ -72,15 +105,30 @@ def render_frames(key, ball_px, ball_vis, table_px, height: int = 1080,
 
     # arena background gradient (smooth, video-like)
     base = 70.0 + 60.0 * (xx / width) + 40.0 * (yy / height)
+    frame = base
+    side_m = end_m = None
+    if context_px is not None:
+        # draw order = depth order: floor, markers (on the floor), then the
+        # table (above the floor plane — occludes markers where they overlap)
+        frame = jnp.where(_inside_quad(xx, yy, context_px[0]), 58.0, frame)
+        side_m = _inside_quad(xx, yy, context_px[1])
+        end_m = _inside_quad(xx, yy, context_px[2])
+        frame = jnp.where(side_m, 150.0, frame)
+        frame = jnp.where(end_m, 140.0, frame)
 
     # table surface + white markings along the reference topology
     quad = table_px[jnp.asarray(_QUAD)]
     table_mask = _inside_quad(xx, yy, quad)
-    frame = jnp.where(table_mask, 45.0, base)
+    frame = jnp.where(table_mask, 45.0, frame)
     line_w2 = (0.0015 * width) ** 2  # ~3 px at 1920
     for a_i, b_i in TABLE_CONNECTIONS:
         d2 = _seg_dist2(xx, yy, table_px[a_i], table_px[b_i])
         frame = jnp.where(d2 < line_w2, 230.0, frame)
+
+    if context_px is not None:
+        # keep the markers colored where the table does not occlude them
+        side_m = side_m & ~table_mask
+        end_m = end_m & ~table_mask
 
     # per-frame ball blob (sigma ~ the label heatmap's 6 px at 1920,
     # ref: balldetection/dataset.py:434-440) + sensor noise
@@ -92,7 +140,17 @@ def render_frames(key, ball_px, ball_vis, table_px, height: int = 1080,
     noise = 2.0 * jax.random.normal(key, (B, height, width))
     out = jnp.clip(frame[None] + blob + noise, 0.0, 255.0)
     # mild channel tint so the frames are not pure grayscale
-    rgb = jnp.stack([out, out * 0.97 + 3.0, out * 0.94 + 5.0], axis=-1)
+    r = out
+    g = out * 0.97 + 3.0
+    b = out * 0.94 + 5.0
+    if context_px is not None:
+        # chromatic shifts make the asymmetric markers trivially separable:
+        # umpire quad reddish, banner quad bluish (additive so the ball blob
+        # and line markings stay visible on top)
+        r = r + 45.0 * side_m - 35.0 * end_m
+        g = g - 25.0 * side_m - 10.0 * end_m
+        b = b - 35.0 * side_m + 50.0 * end_m
+    rgb = jnp.stack([r, g, b], axis=-1)
     return jnp.clip(rgb, 0, 255).astype(jnp.uint8)
 
 

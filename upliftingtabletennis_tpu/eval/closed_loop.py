@@ -123,7 +123,11 @@ def train_detectors(store, args):
 
     from upliftingtabletennis_tpu.data import synthetic as SYN
     from upliftingtabletennis_tpu.data.image_transforms import normalize_image
-    from upliftingtabletennis_tpu.data.render_rally import render_frames, rescale_px
+    from upliftingtabletennis_tpu.data.render_rally import (
+        project_context,
+        render_frames,
+        rescale_px,
+    )
     from upliftingtabletennis_tpu.core.geometry import WIDTH as UPL_W, HEIGHT as UPL_H
     from upliftingtabletennis_tpu.eval import metrics as M
     from upliftingtabletennis_tpu.models.factory import get_detector
@@ -153,6 +157,12 @@ def train_detectors(store, args):
 
         table_px = rescale_px(table_img[..., :2], (UPL_W, UPL_H), (EVAL_W, EVAL_H))
         ball_px_all = rescale_px(r_img, (UPL_W, UPL_H), (EVAL_W, EVAL_H))
+        # world-anchored floor/marker context: without it corner identities
+        # are mirror-ambiguous and the table detector collapses (round-2/3)
+        ctx_px = rescale_px(
+            project_context(sample["Mint"], sample["Mext"]),
+            (UPL_W, UPL_H), (EVAL_W, EVAL_H),
+        )  # (B, 3, 4, 2)
 
         def render_one(k, b):
             """Render at the EVAL resolution (1920x1080) and downscale to the
@@ -169,7 +179,7 @@ def train_detectors(store, args):
                 ts = t_mid[b][None]
             frames = render_frames(
                 k, ball_px_all[b, ts], mask[b, ts], table_px[b],
-                height=EVAL_H, width=EVAL_W,
+                height=EVAL_H, width=EVAL_W, context_px=ctx_px[b],
             )
             if (RW, RH) != (EVAL_W, EVAL_H):
                 frames = jax.image.resize(
@@ -332,7 +342,11 @@ def evaluate_pipeline(store, ckpts, args):
         transform_rotation_axes,
     )
     from upliftingtabletennis_tpu.data import synthetic as SYN
-    from upliftingtabletennis_tpu.data.render_rally import render_frames, rescale_px
+    from upliftingtabletennis_tpu.data.render_rally import (
+        project_context,
+        render_frames,
+        rescale_px,
+    )
     from upliftingtabletennis_tpu.train.uplifting_train import spin_classification_metrics
 
     store_j = jax.tree.map(jnp.asarray, store)
@@ -397,10 +411,15 @@ def evaluate_pipeline(store, ckpts, args):
         # render the whole rally at the pipeline's working resolution; the
         # padded tail renders ball-free and is sliced off (fixed shape ->
         # one compile for all rallies)
+        ctx_eval = rescale_px(
+            project_context(sample["Mint"][0], sample["Mext"][0]),
+            (UPL_W, UPL_H), (EVAL_W, EVAL_H),
+        )
         frames = np.asarray(
             render_frames(
                 jax.random.PRNGKey(j), jnp.asarray(ball_eval_pad), jnp.asarray(mask),
                 jnp.asarray(table_eval), height=EVAL_H, width=EVAL_W,
+                context_px=ctx_eval,
             )
         )[:T]
         fps = 1.0 / max(float(times[1] - times[0]), 1e-6)
