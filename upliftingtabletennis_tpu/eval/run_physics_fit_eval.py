@@ -72,7 +72,7 @@ def eval_tt3d_fit(args):
                 float((d.times * d.mask).max()) * 500.0)) + 4)
 
     predict = None
-    if args.init_checkpoint:
+    if getattr(args, "init_checkpoint", None):
         # hybrid mode: the uplifting network supplies the basin (r0, v0, w0
         # from its predicted 3D track + spin), the physics fit supplies the
         # precision — the fit_physics(init=...) polish, batched over the
