@@ -164,3 +164,51 @@ def test_batch_fit_with_init_state():
     assert err_cm.mean() < 10.0, err_cm.mean()
     cls = np.asarray(F.spin_class_from_fit(res))
     assert cls[0] == 1.0 and cls[1] == 2.0
+
+
+def test_seed_aware_robust_selection():
+    """When several starts tie on final loss, the seeded fit must pick the
+    one closest to the seed instead of argmin's arbitrary first index (the
+    selection rule that kills the wrong-basin tail in hybrid TT3D fits).
+    A fully-masked track makes every in-bounds start's loss identical (0),
+    turning selection into a pure tie-break."""
+    from upliftingtabletennis_tpu.core.fitting import (
+        _run_fit, _state_to_params)
+
+    T = 8
+    obs = jnp.zeros((T, 2))
+    times = jnp.arange(T, dtype=jnp.float32) / 50.0
+    mask = jnp.zeros((T,))  # no data: all starts tie at loss 0
+    Mint = jnp.eye(3) * jnp.array([1000.0, 1000.0, 1.0])
+    Mext = jnp.eye(4)
+    starts = F.BallState(
+        r=jnp.array([[-1.0, 0.3, 1.2], [0.5, -0.2, 1.0], [-0.4, 0.1, 1.5]]),
+        v=jnp.array([[6.0, 0.0, 2.0], [-4.0, 1.0, 3.0], [5.0, -1.0, 2.5]]),
+        w=jnp.array([[0.0, 80.0, 0.0], [0.0, -60.0, 0.0], [30.0, 40.0, 0.0]]),
+    )
+    q0 = _state_to_params(starts)
+    seed_q = _state_to_params(F.BallState(
+        r=jnp.array([-0.45, 0.12, 1.48]), v=jnp.array([5.1, -0.9, 2.4]),
+        w=jnp.array([28.0, 42.0, 0.0])))  # nearest to start index 2
+    kw = dict(n_frames=16, substeps=10, dt=1e-3, adam_steps=0, lm_steps=0,
+              lr=0.03, huber_px=None)
+    res_plain = _run_fit(q0, obs, times, mask, Mint, Mext, **kw)
+    res_seeded = _run_fit(q0, obs, times, mask, Mint, Mext,
+                          seed_q=seed_q, seed_rel=1.3, **kw)
+    assert int(res_plain.best) == 0          # argmin tie -> first index
+    assert int(res_seeded.best) == 2         # robust -> closest to seed
+    # and with data present the seeded selection must not override a start
+    # whose loss is clearly better (outside the rel band)
+    obs2, times2, _, Mint2, Mext2 = _observe(GT_TOP)
+    q2 = _state_to_params(F.BallState(
+        r=jnp.stack([GT_TOP.r, GT_TOP.r + 2.0]),
+        v=jnp.stack([GT_TOP.v, GT_TOP.v * -0.5]),
+        w=jnp.stack([GT_TOP.w, GT_TOP.w]),
+    ))
+    far_seed = _state_to_params(F.BallState(
+        r=GT_TOP.r + 2.0, v=GT_TOP.v * -0.5, w=GT_TOP.w))
+    res2 = _run_fit(q2, obs2, times2, jnp.ones_like(times2), Mint2, Mext2,
+                    seed_q=far_seed, seed_rel=1.3, n_frames=N_FRAMES,
+                    substeps=10, dt=1e-3, adam_steps=0, lm_steps=0,
+                    lr=0.03, huber_px=None)
+    assert int(res2.best) == 0  # truth beats the (bad) seed decisively

@@ -190,9 +190,9 @@ def default_inits(
 
 
 @partial(jax.jit, static_argnames=("n_frames", "substeps", "adam_steps",
-                                   "lm_steps", "huber_px"))
+                                   "lm_steps", "huber_px", "seed_rel"))
 def _run_fit(q0, obs, times, mask, Mint, Mext, *, n_frames, substeps, dt,
-             adam_steps, lm_steps, lr, huber_px):
+             adam_steps, lm_steps, lr, huber_px, seed_q=None, seed_rel=0.0):
     """Batched Adam search (coarse-to-fine horizon) + vmapped LM polish.
 
     q0 (S, 9) scaled multi-start params -> FitResult for the winning start.
@@ -277,7 +277,20 @@ def _run_fit(q0, obs, times, mask, Mint, Mext, *, n_frames, substeps, dt,
                                 substeps, dt, huber_px)
         losses = data + pen
 
-    best = jnp.argmin(jnp.where(jnp.isfinite(losses), losses, jnp.inf))
+    finite = jnp.where(jnp.isfinite(losses), losses, jnp.inf)
+    best = jnp.argmin(finite)
+    if seed_q is not None and seed_rel > 1.0:
+        # Robust seeded selection: pure argmin over the final 2D loss is
+        # unstable on monocularly-ambiguous tracks — a wrong-bounce basin
+        # can edge out the true one by a hair of reprojection error while
+        # being meters off in 3D (the heavy tail in the TT3D fit means).
+        # Among starts whose loss is within `seed_rel` of the minimum
+        # (plus a small absolute slack), prefer the one closest to the
+        # seed (the uplifting network's prediction) in scaled param space:
+        # when the data can't decide, defer to the learned prior.
+        ok = finite <= finite[best] * seed_rel + 0.5
+        dist = jnp.linalg.norm(q - seed_q, axis=-1)
+        best = jnp.argmin(jnp.where(ok, dist, jnp.inf))
     state0 = _params_to_state(q[best])
     _, r_world = _simulated_obs(state0, times, Mint, Mext, n_frames,
                                 substeps, dt)
@@ -302,6 +315,7 @@ def fit_trajectory(
     dt: float = DT,
     init_state: Optional[BallState] = None,
     huber_px: Optional[float] = None,
+    seed_select_rel: float = 1.3,
 ) -> FitResult:
     """Fit (r0, v0, w0) to observed 2D ball detections.
 
@@ -312,6 +326,9 @@ def fit_trajectory(
 
     `init_state` (arrays (3,) or (k, 3)) seeds extra starts — pass the
     uplifting model's prediction to use the fitter as a physics polish.
+    When seeded, the winning start is chosen by robust selection: among
+    starts within `seed_select_rel` of the minimum final loss, the one
+    closest to the seed wins (`seed_select_rel=1.0` restores pure argmin).
     `huber_px` switches the data term to a Huber px distance (robust to
     spurious detections). Returns a FitResult; one compiled program per
     (T, n_frames, n_starts, steps) signature.
@@ -347,10 +364,14 @@ def fit_trajectory(
             )
 
     q0 = _state_to_params(inits)
+    seed_q = (_state_to_params(BallState(*(jnp.asarray(a[0] if jnp.ndim(a) > 1
+                                            else a, jnp.float32)
+                                           for a in init_state)))
+              if init_state is not None else None)
     return _run_fit(
         q0, obs, times, mask, Mint, Mext, n_frames=n_frames,
         substeps=substeps, dt=dt, adam_steps=adam_steps, lm_steps=lm_steps,
-        lr=lr, huber_px=huber_px,
+        lr=lr, huber_px=huber_px, seed_q=seed_q, seed_rel=seed_select_rel,
     )
 
 
@@ -371,6 +392,7 @@ def fit_trajectory_batch(
     dt: float = DT,
     huber_px: Optional[float] = None,
     init_state: Optional[BallState] = None,
+    seed_select_rel: float = 1.3,
 ) -> FitResult:
     """Fit a whole batch of rallies in one program: obs (B, T, 2), times
     (B, T), mask (B, T), Mint (B, 3, 3), Mext (B, 4, 4). `n_frames` must be
@@ -379,7 +401,9 @@ def fit_trajectory_batch(
     as one vmapped program instead of a per-rally loop. `init_state` (fields
     (B, 3)) seeds one start per rally with an external prediction (+ a
     spin-flipped copy) — the physics-polish mode of `fit_trajectory`,
-    batched. Returns a FitResult of batched arrays (leading dim B)."""
+    batched; winning starts then use the seed-aware robust selection of
+    `fit_trajectory` (`seed_select_rel`). Returns a FitResult of batched
+    arrays (leading dim B)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     obs = jnp.asarray(obs, jnp.float32)
@@ -410,6 +434,12 @@ def fit_trajectory_batch(
         _run_fit, n_frames=n_frames, substeps=substeps, dt=dt,
         adam_steps=adam_steps, lm_steps=lm_steps, lr=lr, huber_px=huber_px,
     )
+    if init_state is not None:
+        seed_q = _state_to_params(seed)  # (B, 9)
+        return jax.vmap(
+            lambda q, o, t, m, Ki, Ke, s: run(
+                q, o, t, m, Ki, Ke, seed_q=s, seed_rel=seed_select_rel)
+        )(q0, obs, times, mask, Mint, Mext, seed_q)
     return jax.vmap(run)(q0, obs, times, mask, Mint, Mext)
 
 

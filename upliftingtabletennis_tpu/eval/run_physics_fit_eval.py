@@ -122,6 +122,7 @@ def eval_tt3d_fit(args):
                 n_starts=args.n_starts, adam_steps=args.adam_steps,
                 lm_steps=args.lm_steps, huber_px=args.huber_px,
                 init_state=predict(d, bidx) if predict else None,
+                seed_select_rel=getattr(args, "seed_select_rel", 1.3),
             )
             m = d.mask[bidx][:n_real]
             err = np.linalg.norm(
@@ -172,6 +173,9 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=16,
                    help="rallies fitted per program (B*n_starts hypotheses)")
     p.add_argument("--huber_px", type=float, default=None)
+    p.add_argument("--seed_select_rel", type=float, default=1.3,
+                   help="hybrid mode: loss tolerance of the seed-aware "
+                        "robust start selection (1.0 = pure argmin)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default=None, help="JSON output path")
     args = p.parse_args(argv)
