@@ -207,8 +207,11 @@ def test_seed_aware_robust_selection():
     ))
     far_seed = _state_to_params(F.BallState(
         r=GT_TOP.r + 2.0, v=GT_TOP.v * -0.5, w=GT_TOP.w))
+    # substeps=2 matches _observe's 500 fps save grid — positions_at_times
+    # maps observation times assuming frame k sits at k/FPS, so a coarser
+    # integration grid here would misalign even the ground-truth start
     res2 = _run_fit(q2, obs2, times2, jnp.ones_like(times2), Mint2, Mext2,
                     seed_q=far_seed, seed_rel=1.3, n_frames=N_FRAMES,
-                    substeps=10, dt=1e-3, adam_steps=0, lm_steps=0,
+                    substeps=2, dt=1e-3, adam_steps=0, lm_steps=0,
                     lr=0.03, huber_px=None)
     assert int(res2.best) == 0  # truth beats the (bad) seed decisively
