@@ -155,16 +155,20 @@ def pipeline_fps(iters=3, T=33):
     return fps_i420, breakdown
 
 
-def datagen_tps():
-    """Vmapped physics datagen throughput (BASELINE.md second metric)."""
+def datagen_tps(n=4096):
+    """Vmapped physics datagen throughput (BASELINE.md second metric).
+
+    Measured at n=4096: compiles + runs in single-digit minutes on a cold
+    cache, so the driver artifact is always reproducible within budget.
+    The chip-saturating figure is higher — PERF.md's datagen A/B measured
+    7,520 traj/s at n=32768 (~40% less per-program overhead than 4096) —
+    but that shape's cold compile alone blows the driver budget, which is
+    exactly how round 3 lost every measurement (BENCH_r03 rc=124)."""
     try:
         import jax
 
         from upliftingtabletennis_tpu.data.datagen import generate_candidates
 
-        # n=32768 saturates the chip (~250k candidates/s; 4096 paid ~40%
-        # per-program overhead — see PERF.md datagen section)
-        n = 32768
         cand = generate_candidates(jax.random.PRNGKey(0), n, "intermediate", "left_to_right")
         int(np.asarray(cand["accept"]).sum())  # warmup + force completion
         t0 = time.perf_counter()
@@ -320,31 +324,49 @@ def wait_for_tpu(max_wait_s=900):
 
 
 def main():
+    """Incremental emission: re-print the FULL (so-far) JSON line after every
+    sub-benchmark completes, flushed. The driver parses the LAST JSON line of
+    the tail, so even if a later sub-benchmark overruns the budget and the
+    process is killed, every already-measured number survives. (Round 3 lost
+    all measurements to a single oversized sub-benchmark — never again.)
+    The headline pipeline numbers come first; optional extras follow in
+    increasing order of risk."""
     if not wait_for_tpu():
         import sys
 
         print("bench: TPU tunnel unavailable after max_wait_s; no measurement",
               file=sys.stderr)
         sys.exit(1)
+
+    payload = {
+        "metric": "full_pipeline_frames_per_sec",
+        "value": None,
+        "unit": "video frames/sec/chip (1920x1080 i420 host frames, host downscale to model res + video-native ingest; b2+wasb ball, b2+hrnet table, uplifting-large, RANSAC calib; bf16)",
+        # the reference cannot run its GPU pipeline on this host;
+        # vs_baseline is an explicitly-labeled PROXY ratio, not the
+        # 10x-vs-GPU north star (see module docstring)
+        "vs_baseline": None,
+        "baseline_kind": "torch_cpu_uplifting_proxy",
+        "breakdown": {},
+    }
+
+    def emit():
+        print(json.dumps(payload), flush=True)
+
     fps, breakdown = pipeline_fps()
-    ratio = uplifting_ratio_vs_torch_cpu()
+    payload["value"] = round(fps, 2)
+    payload["breakdown"] = breakdown
+    emit()
+
     breakdown["datagen_trajectories_per_sec"] = datagen_tps()
+    emit()
+
+    ratio = uplifting_ratio_vs_torch_cpu()
+    payload["vs_baseline"] = round(ratio, 1) if ratio else None
+    emit()
+
     breakdown["torch_cpu_wasb_frames_per_sec"] = torch_cpu_wasb_fps()
-    print(
-        json.dumps(
-            {
-                "metric": "full_pipeline_frames_per_sec",
-                "value": round(fps, 2),
-                "unit": "video frames/sec/chip (1920x1080 i420 host frames, host downscale to model res + video-native ingest; b2+wasb ball, b2+hrnet table, uplifting-large, RANSAC calib; bf16)",
-                # the reference cannot run its GPU pipeline on this host;
-                # vs_baseline is an explicitly-labeled PROXY ratio, not the
-                # 10x-vs-GPU north star (see module docstring)
-                "vs_baseline": round(ratio, 1) if ratio else None,
-                "baseline_kind": "torch_cpu_uplifting_proxy",
-                "breakdown": breakdown,
-            }
-        )
-    )
+    emit()
 
 
 if __name__ == "__main__":
