@@ -75,6 +75,11 @@ def test_recovers_3d_trajectory(batch_fit):
     # noiseless observations: the 3D flight is pinned to a few cm
     assert err_cm.mean() < 12.0, err_cm.mean()
     assert float(np.max(np.asarray(res.loss))) < 5.0  # px^2
+    # the GT-free convergence gate: on noiseless tracks a converged fit's
+    # reprojection residual sits well inside the default 3 px gate
+    reproj = np.asarray(res.reproj_px)
+    assert reproj.shape == (2,)
+    assert (reproj < 3.0).all(), reproj
 
 
 def test_recovers_spin_class(batch_fit):

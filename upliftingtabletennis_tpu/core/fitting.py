@@ -13,8 +13,11 @@ network* on simulated data (ref: uplifting/train.py). Here the implicit-
 Euler integrator (core/physics.py, MuJoCo-parity-tested) is pure JAX, so the
 whole simulate->project->loss graph is differentiable and the estimation
 problem is solved directly — a training-free, physically-exact alternative
-to the uplifting transformer, and a physics polish stage for its output
-(pass the network prediction as `init_state`).
+to the uplifting transformer, and a hybrid refinement of its output (pass
+the network prediction as `init_state`: it joins the FULL multi-start and
+wins loss ties via seed-aware robust selection; do not shrink `n_starts`
+to make it a pure polish — that inherits the network's systematic depth
+error, see artifacts/physfit/tt3d_fit_polish.json vs tt3d_fit_hybrid.json).
 
 TPU-first design: the global search is a VMAPPED MULTI-START — all `n_starts`
 candidate initializations integrate, project and take Adam steps together as
@@ -63,6 +66,14 @@ class FitResult(NamedTuple):
     loss: jnp.ndarray  # best-start final mean px^2 reprojection loss
     all_loss: jnp.ndarray  # (n_starts,) final losses of every start
     best: jnp.ndarray  # index of the winning start
+    # masked-mean px distance between the winning start's reprojection and
+    # the OBSERVED track — computable without ground truth, so it is the
+    # convergence gate: fits that locked onto a wrong bounce hypothesis sit
+    # far above the detection-noise floor here, and downstream metrics
+    # should report {error on gated fits, coverage} instead of raw means
+    # (a small fraction of meters-off wrong-basin fits otherwise poisons
+    # every published mean).
+    reproj_px: jnp.ndarray
 
 
 def _params_to_state(q: jnp.ndarray) -> BallState:
@@ -292,10 +303,12 @@ def _run_fit(q0, obs, times, mask, Mint, Mext, *, n_frames, substeps, dt,
         dist = jnp.linalg.norm(q - seed_q, axis=-1)
         best = jnp.argmin(jnp.where(ok, dist, jnp.inf))
     state0 = _params_to_state(q[best])
-    _, r_world = _simulated_obs(state0, times, Mint, Mext, n_frames,
-                                substeps, dt)
+    proj, r_world = _simulated_obs(state0, times, Mint, Mext, n_frames,
+                                   substeps, dt)
+    d = jnp.linalg.norm(proj - obs, axis=-1)
+    reproj_px = jnp.sum(d * mask) / jnp.maximum(jnp.sum(mask), 1.0)
     return FitResult(state0=state0, r_world=r_world, loss=losses[best],
-                     all_loss=losses, best=best)
+                     all_loss=losses, best=best, reproj_px=reproj_px)
 
 
 def fit_trajectory(
@@ -325,7 +338,7 @@ def fit_trajectory(
     simulation horizon (n_frames / 500 s; default covers max(times)).
 
     `init_state` (arrays (3,) or (k, 3)) seeds extra starts — pass the
-    uplifting model's prediction to use the fitter as a physics polish.
+    uplifting model's prediction for the hybrid mode (seed + full search).
     When seeded, the winning start is chosen by robust selection: among
     starts within `seed_select_rel` of the minimum final loss, the one
     closest to the seed wins (`seed_select_rel=1.0` restores pure argmin).
@@ -400,7 +413,7 @@ def fit_trajectory_batch(
     hypotheses integrate together — the eval protocol's trajectory set runs
     as one vmapped program instead of a per-rally loop. `init_state` (fields
     (B, 3)) seeds one start per rally with an external prediction (+ a
-    spin-flipped copy) — the physics-polish mode of `fit_trajectory`,
+    spin-flipped copy) — the hybrid mode of `fit_trajectory`,
     batched; winning starts then use the seed-aware robust selection of
     `fit_trajectory` (`seed_select_rel`). Returns a FitResult of batched
     arrays (leading dim B)."""

@@ -58,6 +58,10 @@ def eval_tt3d_fit(args):
     from upliftingtabletennis_tpu.core import fitting as F
     from upliftingtabletennis_tpu.data.tt3d import load_tt3d
 
+    # programmatic callers may pass a bare Namespace (same pattern as
+    # init_checkpoint / seed_select_rel below)
+    gate_px = float(getattr(args, "gate_px", 3.0))
+
     # one static horizon across all views -> one compiled program total
     n_frames = 0
     loaded = {}
@@ -106,7 +110,7 @@ def eval_tt3d_fit(args):
         w = 2.0 * float(d.Mint[0, 0, 2])
         h = 2.0 * float(d.Mint[0, 1, 2])
         obs = d.r_img * np.array([w, h], np.float32)  # back to pixels
-        errs = []
+        errs, reprojs = [], []
         N = len(d)
         for b0 in range(0, N, args.batch):
             bidx = np.arange(b0, min(b0 + args.batch, N))
@@ -129,15 +133,36 @@ def eval_tt3d_fit(args):
                 np.asarray(res.r_world)[:n_real] - d.r_world[bidx][:n_real],
                 axis=-1) * m
             errs.extend((err.sum(1) / np.maximum(m.sum(1), 1)).tolist())
+            reprojs.extend(np.asarray(res.reproj_px)[:n_real].tolist())
         name = view if noise else f"{view}_no_noise"
+        # Convergence gate (GT-free): a fit whose reprojection residual sits
+        # above the detection-noise floor locked onto a wrong bounce
+        # hypothesis and can be meters off in 3D — report {error on
+        # converged fits, coverage} alongside the raw (outlier-poisoned)
+        # means so published numbers describe the usable fits.
+        e = np.asarray(errs)
+        r = np.asarray(reprojs)
+        conv = r <= gate_px
         results[name] = {
-            "err3d_cm_mean": float(100 * np.mean(errs)),
-            "err3d_cm_std": float(100 * np.std(errs)),
-            "err3d_cm_median": float(100 * np.median(errs)),
+            "err3d_cm_mean": float(100 * np.mean(e)),
+            "err3d_cm_std": float(100 * np.std(e)),
+            "err3d_cm_median": float(100 * np.median(e)),
             "n_traj": len(errs),
+            "gate_px": gate_px,
+            "reproj_px_median": float(np.median(r)),
+            "coverage": float(np.mean(conv)),
+            "n_converged": int(conv.sum()),
+            "err3d_cm_mean_converged": (
+                float(100 * np.mean(e[conv])) if conv.any() else None),
+            "err3d_cm_median_converged": (
+                float(100 * np.median(e[conv])) if conv.any() else None),
         }
         print(f"[tt3d-fit] {name}: {results[name]['err3d_cm_mean']:.1f} cm "
-              f"(median {results[name]['err3d_cm_median']:.1f})", flush=True)
+              f"(median {results[name]['err3d_cm_median']:.1f}); "
+              f"converged@{gate_px:g}px {int(conv.sum())}/{len(e)}: "
+              f"mean {results[name]['err3d_cm_mean_converged'] or float('nan'):.1f} "
+              f"median {results[name]['err3d_cm_median_converged'] or float('nan'):.1f}",
+              flush=True)
 
     print(json.dumps(results))
     if args.out:
@@ -176,6 +201,11 @@ def main(argv=None):
     p.add_argument("--seed_select_rel", type=float, default=1.3,
                    help="hybrid mode: loss tolerance of the seed-aware "
                         "robust start selection (1.0 = pure argmin)")
+    p.add_argument("--gate_px", type=float, default=3.0,
+                   help="convergence gate: fits whose GT-free reprojection "
+                        "residual (FitResult.reproj_px) exceeds this are "
+                        "excluded from the *_converged metrics; coverage "
+                        "reports the fraction retained")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default=None, help="JSON output path")
     args = p.parse_args(argv)
@@ -206,8 +236,8 @@ def main(argv=None):
     idx = np.sort(idx)
 
     arrays = jax.tree.map(jnp.asarray, store)
-    agg = {"err3d_cm": [], "reproj_px": [], "w_err": [], "pred_cls": [],
-           "gt_cls": [], "loss": []}
+    agg = {"err3d_cm": [], "reproj_px": [], "fit_reproj_px": [], "w_err": [],
+           "pred_cls": [], "gt_cls": [], "loss": []}
     key = jax.random.PRNGKey(args.seed)
 
     for b0 in range(0, len(idx), args.batch):
@@ -241,6 +271,8 @@ def main(argv=None):
         obs_clean = np.asarray(batch["r_img"])[:n_real]
         d2 = np.linalg.norm(proj - obs_clean, axis=-1) * m
         agg["reproj_px"].extend((d2.sum(1) / np.maximum(m.sum(1), 1)).tolist())
+        # GT-free residual vs the (noisy, dropped) track the fit actually saw
+        agg["fit_reproj_px"].extend(np.asarray(res.reproj_px)[:n_real].tolist())
 
         gt_w = np.asarray(batch["rotation"])[:n_real]
         fit_w = np.asarray(res.state0.w)[:n_real]
@@ -262,17 +294,34 @@ def main(argv=None):
               f"reproj {np.mean(agg['reproj_px']):.2f} px", flush=True)
 
     acc, f1 = spin_metrics(agg["pred_cls"], agg["gt_cls"])
+    # convergence gate on the GT-free fitted-track residual (see eval_tt3d_fit)
+    e = np.asarray(agg["err3d_cm"])
+    conv = np.asarray(agg["fit_reproj_px"]) <= args.gate_px
+    cls_ok = conv[: len(agg["pred_cls"])]
+    acc_c, f1_c = (
+        spin_metrics(np.asarray(agg["pred_cls"])[cls_ok],
+                     np.asarray(agg["gt_cls"])[cls_ok])
+        if cls_ok.any() else (None, None))
     summary = {
         "n_traj": len(agg["err3d_cm"]),
         "noise_px": args.noise_px,
         "drop": args.drop,
-        "err3d_cm_mean": float(np.mean(agg["err3d_cm"])),
-        "err3d_cm_median": float(np.median(agg["err3d_cm"])),
+        "err3d_cm_mean": float(np.mean(e)),
+        "err3d_cm_median": float(np.median(e)),
         "reproj_px_mean": float(np.mean(agg["reproj_px"])),
         "spin_acc": acc,
         "spin_macro_f1": f1,
         "w_transverse_err_mean": float(np.mean(agg["w_err"])),
         "fit_loss_median": float(np.median(agg["loss"])),
+        "gate_px": float(args.gate_px),
+        "coverage": float(np.mean(conv)),
+        "n_converged": int(conv.sum()),
+        "err3d_cm_mean_converged": (
+            float(np.mean(e[conv])) if conv.any() else None),
+        "err3d_cm_median_converged": (
+            float(np.median(e[conv])) if conv.any() else None),
+        "spin_acc_converged": acc_c,
+        "spin_macro_f1_converged": f1_c,
     }
     print(json.dumps(summary))
     if args.out:

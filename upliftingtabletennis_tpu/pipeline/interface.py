@@ -647,8 +647,10 @@ class TableTennisPipeline:
         ball (T', 2) filtered detections in the 1920x1080 eval frame (the
         `run_rally` output convention); times (T',) seconds; (Mint, Mext)
         from `calibrate_camera`. `init=(spin_local, pos3d)` seeds the fit
-        with `predict`'s output (physics-polish mode). Returns
-        (spin_local (3,), positions_3d (T', 3), FitResult).
+        with `predict`'s output (hybrid mode: the seed joins the full
+        multi-start and breaks loss ties — keep `n_starts` at default).
+        Returns (spin_local (3,), positions_3d (T', 3), FitResult);
+        gate downstream use on `FitResult.reproj_px` (GT-free residual).
         """
         from upliftingtabletennis_tpu.core import fitting as FIT
 
