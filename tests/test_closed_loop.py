@@ -30,6 +30,12 @@ def test_closed_loop_protocol(tmp_path):
     assert (tmp_path / "closed_loop_results.json").exists()
     assert (tmp_path / "ball_detector").exists()
     assert (tmp_path / "table_detector").exists()
+    # physfit sample counts are always reported; when enough rallies pass
+    # the calibration gate, the convergence-gated view must ride along
+    assert "physfit_n_rallies" in res
+    if res["physfit_n_rallies"] >= 8:
+        assert "physfit_coverage" in res
+        assert "physfit_pos3d_err_cm_median_converged" in res
 
 
 def test_ema_debiasing_exact_for_constant_params():
