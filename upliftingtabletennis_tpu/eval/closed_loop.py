@@ -213,6 +213,17 @@ def train_detectors(store, args):
         variables = jax.jit(model.init)(k_init, jnp.zeros((1, RH, RW, n_ch)))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        if args.init_from:
+            # warm-start a continuation run (e.g. a fresh LR anneal from the
+            # best checkpoint of a previous schedule) instead of from scratch
+            from upliftingtabletennis_tpu.utils.checkpoint import load_checkpoint
+            src = os.path.join(args.init_from, f"{task}_detector")
+            tree, _, src_info = load_checkpoint(src)
+            params = jax.tree.map(jnp.asarray, tree["params"])
+            if tree.get("batch_stats"):
+                batch_stats = jax.tree.map(jnp.asarray, tree["batch_stats"])
+            print(f"[{task}] warm-start from {src} "
+                  f"(val_px_err {src_info.get('val_px_err')})", flush=True)
         accum = max(1, args.accum)
         n_updates = max(1, args.train_steps // accum)
         # warmup + cosine decay: constant Adam at the peak lr oscillates
@@ -692,6 +703,11 @@ def main(argv=None):
     p.add_argument("--uplifting_checkpoint", type=str, default=None)
     p.add_argument("--skip_train", action="store_true",
                    help="reuse checkpoints already in --out")
+    p.add_argument("--init_from", type=str, default=None,
+                   help="warm-start each trained task's params from "
+                        "<init_from>/<task>_detector instead of from scratch "
+                        "(fresh optimizer + LR schedule — use to anneal a "
+                        "previous run's best checkpoint further)")
     p.add_argument("--tasks", type=str, default="ball,table",
                    help="comma-separated detector tasks to (re)train; tasks "
                         "not listed reuse the checkpoint already in --out")
