@@ -28,9 +28,17 @@ the overlapped detector phase; post = filters+uplifting+calibration),
 plus datagen trajectories/sec (BASELINE.md's second north-star metric).
 """
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache: repeat driver runs skip the remote
+# compiles (which dominate cold wall time on this tunneled chip). Set
+# BEFORE any jax import touches the backend; honored lazily by jax.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
 def make_rally(T=33, seed=0):

@@ -122,3 +122,34 @@ def test_fused_block_in_segformer_cpu_parity():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-4, rtol=3e-4)
+
+
+def test_flash_cross_attention_diff_gradient_parity():
+    """The custom-VJP flash wrapper (forward = Pallas one-pass kernel,
+    backward = dense recompute) must match dense grads exactly — the raw
+    pallas_call has no JVP rule, so grad through a TPU SegFormer (including
+    flax param-creation stub calls) failed before this wrapper existed."""
+    from upliftingtabletennis_tpu.ops.flash_attention import (
+        dense_cross_attention,
+        flash_cross_attention_diff,
+    )
+
+    rng = np.random.default_rng(3)
+    B, Nq, Nkv, h, hd = 2, 37, 11, 2, 8
+    q = jnp.asarray(rng.normal(size=(B, Nq, h, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Nkv, h, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Nkv, h, hd)), jnp.float32)
+    scale = hd ** -0.5
+
+    def loss_flash(q, k, v):
+        o = flash_cross_attention_diff(q, k, v, scale, True)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_dense(q, k, v):
+        return jnp.sum(jnp.sin(dense_cross_attention(q, k, v, scale=scale)))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)

@@ -85,6 +85,17 @@ def _load_store(data_dir, modes=("intermediate",)):
     return SYN.concat_stores(stores)
 
 
+def _detector_model_name(ckpt, default):
+    """Architecture recorded in the checkpoint's self-describing metadata
+    (utils/checkpoint.save_checkpoint) — the eval must reconstruct whatever
+    train_detectors actually trained, not a hard-coded name."""
+    try:
+        with open(os.path.join(ckpt, "meta.json")) as f:
+            return json.load(f)["additional_info"].get("model", default)
+    except Exception:
+        return default
+
+
 def _pipeline_from(ball_ckpt, table_ckpt, uplifting_checkpoint, model_res, chunk=8):
     """Pipeline with the closed-loop-trained detectors. Main and aux slots
     share one model per task — the dual-model agreement filter then always
@@ -97,11 +108,13 @@ def _pipeline_from(ball_ckpt, table_ckpt, uplifting_checkpoint, model_res, chunk
         UpliftingModel,
     )
 
+    ball_name = _detector_model_name(ball_ckpt, "wasb")
+    table_name = _detector_model_name(table_ckpt, "hrnet")
     pipe = TableTennisPipeline.__new__(TableTennisPipeline)
-    pipe.ball_detector = BallDetector("wasb", ball_ckpt, chunk, resolution=model_res)
-    pipe.ball_detector_aux = BallDetector("wasb", ball_ckpt, chunk, resolution=model_res)
-    pipe.table_detector = TableDetector("hrnet", table_ckpt, chunk, resolution=model_res)
-    pipe.table_detector_aux = TableDetector("hrnet", table_ckpt, chunk, resolution=model_res)
+    pipe.ball_detector = BallDetector(ball_name, ball_ckpt, chunk, resolution=model_res)
+    pipe.ball_detector_aux = BallDetector(ball_name, ball_ckpt, chunk, resolution=model_res)
+    pipe.table_detector = TableDetector(table_name, table_ckpt, chunk, resolution=model_res)
+    pipe.table_detector_aux = TableDetector(table_name, table_ckpt, chunk, resolution=model_res)
     if uplifting_checkpoint:
         pipe.uplifting_model = UpliftingModel(uplifting_checkpoint)
     else:
@@ -204,7 +217,7 @@ def train_detectors(store, args):
 
     results = {}
     for task in args.tasks:
-        model_name = "wasb" if task == "ball" else "hrnet"
+        model_name = args.ball_model if task == "ball" else args.table_model
         model, _ = get_detector(model_name, task, train=True, remat=True)
         n_ch = 9 if task == "ball" else 3
         n_pts = 1 if task == "ball" else 13
@@ -213,6 +226,17 @@ def train_detectors(store, args):
         variables = jax.jit(model.init)(k_init, jnp.zeros((1, RH, RW, n_ch)))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        # the model's OUTPUT resolution (heatmap grid): HRNet's stride-1 stem
+        # gives OH,OW == RH,RW; SegFormer predicts at 1/4 input res (the
+        # reference upsamples b2 logits to eval res — numerically the same
+        # objective, (4x)^2 less loss-tensor bandwidth to keep it native)
+        eval_model, _ = get_detector(model_name, task, train=False)
+        _y = jax.eval_shape(
+            eval_model.apply, variables,
+            jax.ShapeDtypeStruct((1, RH, RW, n_ch), jnp.float32),
+        )
+        _heat = _y[0] if isinstance(_y, tuple) else _y
+        OH, OW = _heat.shape[1], _heat.shape[2]  # NHWC
         if args.init_from:
             # warm-start a continuation run (e.g. a fresh LR anneal from the
             # best checkpoint of a previous schedule) instead of from scratch
@@ -245,13 +269,15 @@ def train_detectors(store, args):
         decay = ema_decay_for(args.train_steps)
         ema = jax.tree.map(jnp.zeros_like, params)  # see ema_finalize
 
-        # loss is computed at the model's NATIVE output resolution (the HRNet
-        # stem is stride-1, so output res == input res): targets render at
-        # (RH, RW) with sigma scaled from the 6-px eval-res reference value
-        # — numerically the same objective as upsampling logits to eval res,
-        # at (EVAL/R)^2 x less loss-tensor memory/bandwidth
-        sx, sy = RW / EVAL_W, RH / EVAL_H
-        sigma_model = 6.0 * sx
+        # loss is computed at the model's NATIVE output resolution (OH, OW):
+        # targets render there with sigma scaled from the 6-px eval-res
+        # reference value — numerically the same objective as upsampling
+        # logits to eval res, at (EVAL/OUT)^2 x less loss-tensor bandwidth
+        sx, sy = OW / EVAL_W, OH / EVAL_H
+        # floor the sigma at 1.5 OUTPUT px: a /4-res grid would otherwise get
+        # a sub-pixel sigma (near-delta targets, no gradient support) —
+        # mmpose-style heads use sigma ~2 at /4 for the same reason
+        sigma_model = max(6.0 * sx, 1.5)
 
         # Two jitted programs per step, NOT one: the fused
         # assemble+render+fwd/bwd program exceeds the remote compile
@@ -264,7 +290,7 @@ def train_detectors(store, args):
             images, coords, vis = sample_rendered(k_data, store_arg, idx_arg, task)
             coords_m = coords[:, :n_pts] * jnp.asarray([sx, sy])
             target = M.render_gaussian_heatmaps(
-                coords_m, vis[:, :n_pts], RH, RW, sigma_model
+                coords_m, vis[:, :n_pts], OH, OW, sigma_model
             )
             # Normalize EXACTLY like the inference pipeline (resize->
             # ImageNet normalize, interface.py) — the detectors trained
@@ -311,7 +337,7 @@ def train_detectors(store, args):
                 # location pays linearly, and the gradient directly optimizes
                 # the metric being judged (px error).
                 pred_px = soft_argmax_px(logits)
-                norm = jnp.asarray([RW, RH], jnp.float32)
+                norm = jnp.asarray([OW, OH], jnp.float32)
                 l1 = jnp.abs(pred_px - coords_m) / norm
                 m = (vis > 0).astype(jnp.float32)[..., None]
                 coord = jnp.sum(l1 * m) / jnp.maximum(jnp.sum(m) * 2, 1.0)
@@ -327,8 +353,8 @@ def train_detectors(store, args):
                     ema, loss, mse, coord)
 
         # ---- validation probe (the ONLY trusted signal: round 3 declared a
-        # detector converged on train loss while val px error sat at 170) ----
-        eval_model, _ = get_detector(model_name, task, train=False)
+        # detector converged on train loss while val px error sat at 170;
+        # eval_model was built above for the output-shape probe) ----
         val_idx = jnp.asarray(SYN.split_indices(len(store), "val"))
 
         @jax.jit
@@ -378,6 +404,20 @@ def train_detectors(store, args):
                             "bs": jax.device_get(batch_stats), "step": it}
                     evals_since_best = 0
                     marker = "  *best*"
+                    # persist the snapshot IMMEDIATELY: the tunneled chip has
+                    # multi-minute outages that can kill a run mid-training;
+                    # a retry can then --init_from <out>/best_snapshot
+                    snap = os.path.join(args.out, "best_snapshot",
+                                        f"{task}_detector")
+                    s_tree = {"params": best["params"]}
+                    if best["bs"]:
+                        s_tree["batch_stats"] = best["bs"]
+                    save_checkpoint(
+                        snap, s_tree, f"closed_loop_{model_name}",
+                        {"task": task, "model": model_name,
+                         "render_res": list(args.render_res),
+                         "weights": f"best@{it}", "val_px_err": px,
+                         "steps_run": it + 1})
                 else:
                     evals_since_best += 1
                 print(f"[{task}] step {it}: VAL px {px:.1f}{marker}", flush=True)
@@ -697,6 +737,14 @@ def main(argv=None):
                    help="spatial-softmax temperature for the coordinate loss")
     p.add_argument("--n_eval", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ball_model", type=str, default="wasb",
+                   help="ball detector architecture (models/factory.py)")
+    p.add_argument("--table_model", type=str, default="hrnet",
+                   help="table detector architecture; segformerpp_b0's "
+                        "global (SR-)attention resolves the corner-identity "
+                        "ambiguity that caps the conv-only HRNet at ~170 px "
+                        "(limited receptive field cannot see the asymmetric "
+                        "scene markers from the keypoints)")
     p.add_argument("--render_res", type=int, nargs=2, default=(960, 544),
                    help="rendered-frame + detector input resolution W H "
                         "(training renders at model res; eval renders 1920x1080)")

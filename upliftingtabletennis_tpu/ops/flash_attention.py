@@ -125,8 +125,40 @@ def dense_cross_attention(q, k, v, scale=None):
     return jnp.einsum("bhqk,bkhd->bqhd", w, v)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_cross_attention_diff(q, k, v, scale, interpret=False):
+    """Differentiable wrapper: Pallas one-pass kernel forward, dense-recompute
+    backward (flash-attention-style remat — the same pattern as
+    ops/fused_ffn.fused_ln_ffn_trainable). The raw pallas_call has no JVP
+    rule, which made any grad trace through a TPU SegFormer fail — including
+    flax param-creation stub calls whose outputs are discarded (linearization
+    evaluates them anyway)."""
+    return flash_cross_attention(q, k, v, scale=scale, interpret=interpret)
+
+
+def _flash_diff_fwd(q, k, v, scale, interpret):
+    return flash_cross_attention(q, k, v, scale=scale, interpret=interpret), (q, k, v)
+
+
+def _flash_diff_bwd(scale, interpret, res, g):
+    q, k, v = res
+    # recompute through the dense reference: the (Nq, Nkv) logits are
+    # materialized only inside the backward pass, with Nkv <= ~1400 by
+    # construction (SegFormer's spatial reduction)
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: dense_cross_attention(q_, k_, v_, scale=scale), q, k, v
+    )
+    return vjp(g)
+
+
+flash_cross_attention_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
 def cross_attention(q, k, v, scale=None):
-    """Dispatch: Pallas flash kernel on TPU, dense XLA elsewhere."""
+    """Dispatch: Pallas flash kernel on TPU (differentiable), dense XLA
+    elsewhere."""
     if jax.default_backend() == "tpu":
-        return flash_cross_attention(q, k, v, scale=scale)
+        if scale is None:
+            scale = q.shape[-1] ** -0.5
+        return flash_cross_attention_diff(q, k, v, float(scale))
     return dense_cross_attention(q, k, v, scale=scale)
