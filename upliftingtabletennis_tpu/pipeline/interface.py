@@ -416,6 +416,8 @@ class TableTennisPipeline:
         dets = (self.ball_detector, self.ball_detector_aux) + (
             (self.table_detector, self.table_detector_aux) if with_table else ()
         )
+        for d in dets:  # _slab_body is built lazily; direct callers (tools/
+            d._ensure_init(9 if d.task == "ball" else 3)  # profilers) need it too
         if pixel_format == "i420":
             from upliftingtabletennis_tpu.data.image_transforms import i420_to_rgb
 
