@@ -163,34 +163,59 @@ def pipeline_fps(iters=3, T=33):
     return fps_i420, breakdown
 
 
-def datagen_tps(n=4096):
+def datagen_tps(n=4096, budget_s=420.0):
     """Vmapped physics datagen throughput (BASELINE.md second metric).
 
-    Measured at n=4096: compiles + runs in single-digit minutes on a cold
-    cache, so the driver artifact is always reproducible within budget.
-    The chip-saturating figure is higher — PERF.md's datagen A/B measured
-    7,520 traj/s at n=32768 (~40% less per-program overhead than 4096) —
-    but that shape's cold compile alone blows the driver budget, which is
-    exactly how round 3 lost every measurement (BENCH_r03 rc=124)."""
+    Returns {"datagen_trajectories_per_sec": warm steady-state at the
+    LARGEST shape that compiled within budget, "datagen_n": that shape,
+    "datagen_warmup_s": compile+first-run wall}. Warm steady-state =
+    2+ timed batches AFTER the compile batch (VERDICT r4 #7: BENCH_r04
+    recorded 1,618 at n=4096 with a congested dispatch path while PERF.md
+    claims 7,520 at n=32768 — the headline must state its shape and
+    exclude compile, and reach for the saturating shape when the budget
+    allows).
+
+    Escalation: measure n=4096 first (cold compile is single-digit
+    minutes — always lands an artifact), then attempt n=32768 (the
+    chip-saturating shape, PERF.md datagen A/B) only while within
+    budget_s; its program usually comes from the persistent compilation
+    cache (~/.jax_cache) after the first driver run."""
+    out = {}
     try:
         import jax
 
         from upliftingtabletennis_tpu.data.datagen import generate_candidates
 
-        cand = generate_candidates(jax.random.PRNGKey(0), n, "intermediate", "left_to_right")
-        int(np.asarray(cand["accept"]).sum())  # warmup + force completion
-        t0 = time.perf_counter()
-        iters = 3
-        tot = 0
-        for i in range(iters):
+        t_start = time.perf_counter()
+        for shape in (n, 32768):
+            t0 = time.perf_counter()
             cand = generate_candidates(
-                jax.random.PRNGKey(i + 1), n, "intermediate", "left_to_right"
+                jax.random.PRNGKey(0), shape, "intermediate", "left_to_right"
             )
-            tot += int(np.asarray(cand["accept"]).sum())
-        dt = time.perf_counter() - t0
-        return round(tot / dt, 1)
+            int(np.asarray(cand["accept"]).sum())  # compile + first run
+            warmup = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            iters = 3 if shape <= 8192 else 2
+            tot = 0
+            for i in range(iters):
+                cand = generate_candidates(
+                    jax.random.PRNGKey(i + 1), shape, "intermediate", "left_to_right"
+                )
+                tot += int(np.asarray(cand["accept"]).sum())
+            dt = time.perf_counter() - t0
+            out = {
+                "datagen_trajectories_per_sec": round(tot / dt, 1),
+                "datagen_n": shape,
+                "datagen_warmup_s": round(warmup, 1),
+            }
+            yield dict(out)
+            # only escalate to the saturating shape with budget left for
+            # a (possibly cold) compile + 2 batches
+            if time.perf_counter() - t_start > budget_s * 0.3:
+                return
     except Exception:
-        return None
+        if not out:
+            yield {"datagen_trajectories_per_sec": None}
 
 
 def uplifting_ratio_vs_torch_cpu():
@@ -364,10 +389,19 @@ def main():
     fps, breakdown = pipeline_fps()
     payload["value"] = round(fps, 2)
     payload["breakdown"] = breakdown
+    # context for reading the headline under a varying tunnel: e2e ~=
+    # min(link-bound, compute-bound); when link_bound_fps < compute fps the
+    # headline is LINK-limited, not a compute regression (PERF.md
+    # "End-to-end budget"; VERDICT r4 #7 — r04's 6.97 at 4 MB/s read as a
+    # regression without this)
+    link_bound = breakdown["link_MBps"] / 2.15
+    breakdown["link_bound_fps"] = round(link_bound, 2)
+    breakdown["link_limited"] = bool(link_bound < breakdown["compute_frames_per_sec"])
     emit()
 
-    breakdown["datagen_trajectories_per_sec"] = datagen_tps()
-    emit()
+    for dg in datagen_tps():
+        breakdown.update(dg)
+        emit()
 
     ratio = uplifting_ratio_vs_torch_cpu()
     payload["vs_baseline"] = round(ratio, 1) if ratio else None

@@ -30,6 +30,40 @@ PROBE = ("import jax, numpy as np, jax.numpy as jnp;"
          "x = jnp.ones((128, 128)); np.asarray(jnp.ravel(x @ x)[:1])")
 
 
+def snapshot_usable(dirpath):
+    """True iff every *_detector checkpoint under `dirpath` restores.
+
+    A stall-kill can land mid orbax save and leave the snapshot torn; a
+    retry that appends `--init_from <torn dir>` then fails fast at restore
+    on EVERY subsequent attempt, burning max_attempts without retraining
+    (ADVICE r4 #4). Validate by actually loading (in this process — the
+    load is host-only, no chip touch) before trusting it.
+    """
+    import glob
+    import json
+
+    # the framework package lives one directory above tools/ — make the
+    # validation import independent of the launch cwd
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+
+    dets = glob.glob(os.path.join(dirpath, "*_detector"))
+    if not dets:
+        return False
+    for det in dets:
+        try:
+            with open(os.path.join(det, "meta.json")) as f:
+                json.load(f)
+            from upliftingtabletennis_tpu.utils.checkpoint import load_checkpoint
+
+            load_checkpoint(det)
+        except Exception as e:
+            print(f"[resilient] snapshot {det} unusable ({e!r})", flush=True)
+            return False
+    return True
+
+
 def tunnel_up(timeout_s=240):
     try:
         rc = subprocess.run(
@@ -65,7 +99,18 @@ def main():
             time.sleep(45)
         run_cmd = list(cmd)
         if args.warm_start_dir and os.path.isdir(args.warm_start_dir):
-            run_cmd += ["--init_from", args.warm_start_dir]
+            if snapshot_usable(args.warm_start_dir):
+                run_cmd += ["--init_from", args.warm_start_dir]
+            else:
+                # rename the torn snapshot aside so the job can re-create it
+                aside = args.warm_start_dir.rstrip("/") + f".corrupt{attempt}"
+                print(f"[resilient] warm-start snapshot failed validation; "
+                      f"moving aside to {aside} and cold-starting", flush=True)
+                try:
+                    os.rename(args.warm_start_dir, aside)
+                except OSError as e:
+                    print(f"[resilient] rename failed ({e}); cold-starting "
+                          "anyway", flush=True)
         print(f"[resilient] attempt {attempt}: {' '.join(run_cmd)}", flush=True)
         with open(args.log, "ab") as lf:
             proc = subprocess.Popen(run_cmd, stdout=lf, stderr=lf)

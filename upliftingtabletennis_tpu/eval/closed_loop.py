@@ -85,15 +85,26 @@ def _load_store(data_dir, modes=("intermediate",)):
     return SYN.concat_stores(stores)
 
 
-def _detector_model_name(ckpt, default):
-    """Architecture recorded in the checkpoint's self-describing metadata
-    (utils/checkpoint.save_checkpoint) — the eval must reconstruct whatever
-    train_detectors actually trained, not a hard-coded name."""
+def _detector_meta(ckpt, default_name, default_res):
+    """Architecture AND input resolution recorded in the checkpoint's
+    self-describing metadata (utils/checkpoint.save_checkpoint) — the eval
+    must reconstruct whatever train_detectors actually trained, not
+    hard-coded/CLI values: a --skip_train eval against checkpoints trained
+    at a different render_res would otherwise silently run the detectors at
+    the wrong resolution (ADVICE r4 #3; same class of bug fixed earlier in
+    tools/diagnose_table_detector)."""
     try:
         with open(os.path.join(ckpt, "meta.json")) as f:
-            return json.load(f)["additional_info"].get("model", default)
+            info = json.load(f)["additional_info"]
+        name = info.get("model", default_name)
+        res = tuple(info.get("render_res", default_res))
     except Exception:
-        return default
+        return default_name, tuple(default_res)
+    if tuple(default_res) != res:
+        print(f"[closed_loop] WARNING: --render_res {tuple(default_res)} != "
+              f"checkpoint's trained resolution {res} ({ckpt}); "
+              f"using the checkpoint's", flush=True)
+    return name, res
 
 
 def _pipeline_from(ball_ckpt, table_ckpt, uplifting_checkpoint, model_res, chunk=8):
@@ -108,13 +119,13 @@ def _pipeline_from(ball_ckpt, table_ckpt, uplifting_checkpoint, model_res, chunk
         UpliftingModel,
     )
 
-    ball_name = _detector_model_name(ball_ckpt, "wasb")
-    table_name = _detector_model_name(table_ckpt, "hrnet")
+    ball_name, ball_res = _detector_meta(ball_ckpt, "wasb", model_res)
+    table_name, table_res = _detector_meta(table_ckpt, "hrnet", model_res)
     pipe = TableTennisPipeline.__new__(TableTennisPipeline)
-    pipe.ball_detector = BallDetector(ball_name, ball_ckpt, chunk, resolution=model_res)
-    pipe.ball_detector_aux = BallDetector(ball_name, ball_ckpt, chunk, resolution=model_res)
-    pipe.table_detector = TableDetector(table_name, table_ckpt, chunk, resolution=model_res)
-    pipe.table_detector_aux = TableDetector(table_name, table_ckpt, chunk, resolution=model_res)
+    pipe.ball_detector = BallDetector(ball_name, ball_ckpt, chunk, resolution=ball_res)
+    pipe.ball_detector_aux = BallDetector(ball_name, ball_ckpt, chunk, resolution=ball_res)
+    pipe.table_detector = TableDetector(table_name, table_ckpt, chunk, resolution=table_res)
+    pipe.table_detector_aux = TableDetector(table_name, table_ckpt, chunk, resolution=table_res)
     if uplifting_checkpoint:
         pipe.uplifting_model = UpliftingModel(uplifting_checkpoint)
     else:
@@ -288,7 +299,15 @@ def train_detectors(store, args):
         def make_batch(key, store_arg, idx_arg):
             k_data, k_drop = jax.random.split(key)
             images, coords, vis = sample_rendered(k_data, store_arg, idx_arg, task)
-            coords_m = coords[:, :n_pts] * jnp.asarray([sx, sy])
+            # Pixel-center mapping into the model-output grid — the exact
+            # inverse of the pipeline decode (ops/peak.py:99, ref
+            # balldetection/transforms.py:44-48). Plain `coords * s` scaling
+            # here trained the round-4 detectors to targets carrying a
+            # systematic 0.5*(1/s - 1) px/axis decode bias: +3.5 px/axis at
+            # SegFormer's 1/4-res output = the uniform ~4.9 px radial table
+            # error ADVICE r4 #1 diagnosed (README had misattributed it to
+            # render-domain noise).
+            coords_m = (coords[:, :n_pts] + 0.5) * jnp.asarray([sx, sy]) - 0.5
             target = M.render_gaussian_heatmaps(
                 coords_m, vis[:, :n_pts], OH, OW, sigma_model
             )
@@ -515,6 +534,7 @@ def evaluate_pipeline(store, ckpts, args):
     table_kp_errs = [[] for _ in range(13)]
     spin_scores, spin_labels = [], []
     pf_pos3d, pf_cls, pf_lbl, pf_reproj = [], [], [], []
+    pf_spread, pf_seed_agree = [], []
     calib_inliers, calib_reprojs = [], []
     n_valid_frames = 0
     n_evaluated = 0
@@ -614,18 +634,51 @@ def evaluate_pipeline(store, ckpts, args):
                 obs_p[:k] = out["ball"][:k]
                 t_p[:k] = np.asarray(out["times"])[:k]
                 m_p[:k] = 1.0
+                # HYBRID seeding (VERDICT r4 #3): the uplifting network's
+                # prediction joins the multi-start and arbitrates basins
+                # via seed-aware robust selection — it runs on the SAME
+                # detections right above, so this stays training-free at
+                # pipeline level while resolving monocular depth ambiguity
+                # (interface.fit_physics `init=` semantics).
+                init_state = None
+                seed_r0 = None
+                if (
+                    args.uplifting_checkpoint
+                    and out["pos3d"] is not None
+                    and len(out["pos3d"]) >= 2
+                    and out["spin"] is not None
+                ):
+                    pos3d = np.asarray(out["pos3d"], np.float32)
+                    v0 = (pos3d[1] - pos3d[0]) / max(
+                        float(t_p[1] - t_p[0]), 1e-3
+                    )
+                    w_world_seed = G.inverse_transform_rotation_axes(
+                        jnp.asarray(out["spin"], jnp.float32),
+                        jnp.asarray(pos3d, jnp.float32),
+                    )
+                    init_state = FIT.BallState(
+                        r=jnp.asarray(pos3d[0]), v=jnp.asarray(v0),
+                        w=w_world_seed,
+                    )
+                    seed_r0 = pos3d[0]
                 fit = FIT.fit_trajectory(
                     obs_p, t_p, m_p, Mint_c, Mext_c, n_frames=500,
                     n_starts=args.physfit_starts,
                     adam_steps=args.physfit_adam_steps,
                     lm_steps=args.physfit_lm_steps,
                     huber_px=20.0, key=jax.random.PRNGKey(j),
+                    init_state=init_state,
                 )
                 d3f = np.linalg.norm(
                     np.asarray(fit.r_world)[:k] - r_world[vi[:k]], axis=-1
                 )
                 pf_pos3d.append(d3f)
                 pf_reproj.append(float(np.asarray(fit.reproj_px)))
+                pf_spread.append(float(np.asarray(fit.basin_spread_m)))
+                pf_seed_agree.append(
+                    float(np.linalg.norm(np.asarray(fit.state0.r) - seed_r0))
+                    if seed_r0 is not None else float("inf")
+                )
                 pf_cls.append(float(np.asarray(FIT.spin_class_from_fit(fit))))
                 pf_lbl.append(1.0 if w_local[1] > 0 else 2.0)
 
@@ -676,11 +729,20 @@ def evaluate_pipeline(store, ckpts, args):
     if len(pf_pos3d) >= args.physfit_min_rallies:
         res["physfit_pos3d_err_cm_mean"] = float(100 * np.mean(np.concatenate(pf_pos3d)))
         res["physfit_pos3d_err_cm_median"] = float(100 * np.median(np.concatenate(pf_pos3d)))
-        # Convergence gate (GT-free, core/fitting.FitResult.reproj_px):
-        # report {error on converged fits, coverage} — a few wrong-bounce
-        # locks otherwise poison the mean by meters.
-        conv = np.asarray(pf_reproj) <= args.physfit_gate_px
+        # Convergence gate (GT-free): reproj_px bounds 2D agreement, but a
+        # 5-px residual still admits meter-scale DEPTH error (round-4:
+        # converged median 8.8 cm, mean 101 cm). The r5 gate additionally
+        # requires depth identifiability: either the near-tied basins agree
+        # in 3D (FitResult.basin_spread_m small) or the winning basin agrees
+        # with the network seed (the learned prior resolves the ambiguity).
+        reproj_ok = np.asarray(pf_reproj) <= args.physfit_gate_px
+        spread_ok = np.asarray(pf_spread) <= args.physfit_max_spread_m
+        seed_ok = np.asarray(pf_seed_agree) <= args.physfit_seed_agree_m
+        conv = reproj_ok & (spread_ok | seed_ok)
         res["physfit_gate_px"] = float(args.physfit_gate_px)
+        res["physfit_max_spread_m"] = float(args.physfit_max_spread_m)
+        res["physfit_basin_spread_m_median"] = float(np.median(pf_spread))
+        res["physfit_n_seed_arbitrated"] = int(np.sum(reproj_ok & ~spread_ok & seed_ok))
         res["physfit_coverage"] = float(np.mean(conv))
         res["physfit_n_converged"] = int(conv.sum())
         if conv.any():
@@ -777,6 +839,15 @@ def main(argv=None):
                         "reports the retained fraction (looser than the "
                         "clean-track 3 px default — detector tracks carry "
                         "~1-2 px detection noise)")
+    p.add_argument("--physfit_max_spread_m", type=float, default=0.3,
+                   help="depth-identifiability gate: max 3D spread (m) of "
+                        "near-tied basins (FitResult.basin_spread_m) for a "
+                        "fit to count as converged without seed agreement")
+    p.add_argument("--physfit_seed_agree_m", type=float, default=0.5,
+                   help="alternative gate arm: a fit whose winning r0 is "
+                        "within this distance (m) of the network seed "
+                        "counts as converged even when basins are ambiguous "
+                        "(the learned prior arbitrates)")
     args = p.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
 

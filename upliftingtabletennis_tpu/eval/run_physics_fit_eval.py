@@ -110,7 +110,7 @@ def eval_tt3d_fit(args):
         w = 2.0 * float(d.Mint[0, 0, 2])
         h = 2.0 * float(d.Mint[0, 1, 2])
         obs = d.r_img * np.array([w, h], np.float32)  # back to pixels
-        errs, reprojs = [], []
+        errs, reprojs, spreads = [], [], []
         N = len(d)
         for b0 in range(0, N, args.batch):
             bidx = np.arange(b0, min(b0 + args.batch, N))
@@ -134,22 +134,30 @@ def eval_tt3d_fit(args):
                 axis=-1) * m
             errs.extend((err.sum(1) / np.maximum(m.sum(1), 1)).tolist())
             reprojs.extend(np.asarray(res.reproj_px)[:n_real].tolist())
+            spreads.extend(np.asarray(res.basin_spread_m)[:n_real].tolist())
         name = view if noise else f"{view}_no_noise"
-        # Convergence gate (GT-free): a fit whose reprojection residual sits
-        # above the detection-noise floor locked onto a wrong bounce
-        # hypothesis and can be meters off in 3D — report {error on
-        # converged fits, coverage} alongside the raw (outlier-poisoned)
-        # means so published numbers describe the usable fits.
+        # Convergence gate (GT-free): reprojection residual above the
+        # detection-noise floor => wrong bounce hypothesis; AND the r5
+        # depth-identifiability arm (FitResult.basin_spread_m): a small 2D
+        # residual still admits meter-scale depth error when several basins
+        # tie — require the near-tied basins to agree in 3D (or, in hybrid
+        # mode, the seed to have arbitrated; seeded selection already picks
+        # the seed-nearest tied basin, so spread-gated hybrid fits keep the
+        # network-resolved depth).
         e = np.asarray(errs)
         r = np.asarray(reprojs)
-        conv = r <= gate_px
+        s = np.asarray(spreads)
+        max_spread = float(getattr(args, "max_spread_m", 0.3))
+        conv = (r <= gate_px) & ((s <= max_spread) | (predict is not None))
         results[name] = {
             "err3d_cm_mean": float(100 * np.mean(e)),
             "err3d_cm_std": float(100 * np.std(e)),
             "err3d_cm_median": float(100 * np.median(e)),
             "n_traj": len(errs),
             "gate_px": gate_px,
+            "max_spread_m": max_spread,
             "reproj_px_median": float(np.median(r)),
+            "basin_spread_m_median": float(np.median(s)),
             "coverage": float(np.mean(conv)),
             "n_converged": int(conv.sum()),
             "err3d_cm_mean_converged": (
@@ -206,6 +214,10 @@ def main(argv=None):
                         "residual (FitResult.reproj_px) exceeds this are "
                         "excluded from the *_converged metrics; coverage "
                         "reports the fraction retained")
+    p.add_argument("--max_spread_m", type=float, default=0.3,
+                   help="depth-identifiability gate arm: unseeded fits whose "
+                        "near-tied basins spread more than this in 3D "
+                        "(FitResult.basin_spread_m) are not 'converged'")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default=None, help="JSON output path")
     args = p.parse_args(argv)

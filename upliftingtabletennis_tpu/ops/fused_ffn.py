@@ -161,6 +161,142 @@ def fused_ln_ffn(x, H: int, W: int, gamma, beta, w1, b1, dw, bdw, w2, b2,
 
 
 # ---------------------------------------------------------------------------
+# v2: tap-matmul kernel — depthwise conv folded INTO the fc1 matmul
+# ---------------------------------------------------------------------------
+#
+# The round-4 trace showed the v1 kernel at 22 TFLOP/s / 32 GB/s — neither
+# roofline (VERDICT r5 #1): the 9-tap f32 depthwise loop + masking runs on
+# the VPU over the (th, W, HID) hidden tile while the MXU idles. v2 uses
+# the linearity of fc1: with dw_t the per-hidden-channel tap weights,
+#
+#   dw3x3(mask .* (LN(x) @ W1 + b1))
+#     = sum_t shift_t(mask .* LN(x)) @ (W1 * dw_t)
+#       + sum_t shift_t(mask) * (b1 * dw_t)
+#     = Y9 @ W19
+#
+# where Y9 concatenates the 9 shifted copies of [masked LN(x), mask] along
+# features (9*(C+1) channels) and W19 stacks [W1 * dw_t; b1 * dw_t]. One
+# MXU matmul with K = 9*(C+1) (576-1161: full lane utilization, vs K = C =
+# 64 at 50% for v1's fc1) replaces fc1 + the entire VPU tap loop; the f32
+# accumulator never round-trips VMEM 9 times. Parity with v1/_ref_ln_ffn is
+# exact up to bf16 rounding (tests/test_fused_ffn.py).
+
+
+def _kernel_v2(xp_ref, xc_ref, xn_ref, g_ref, b_ref, w19_ref, bdw_ref,
+               w2_ref, b2_ref, o_ref, *, eps: float, th: int, H: int):
+    i = pl.program_id(1)
+    xc = xc_ref[0]  # (th, W, C)
+    top = xp_ref[0, -1:]
+    bot = xn_ref[0, :1]
+    x = jnp.concatenate([top, xc, bot], axis=0)  # (R, W, C)
+    R, W, C = x.shape
+
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+
+    # in-image row mask (the depthwise conv zero-pads the hidden tensor at
+    # image boundaries; masking y AND the indicator channel before the
+    # shifts is algebraically identical — see the derivation above)
+    g_row = jax.lax.broadcasted_iota(jnp.int32, (R, 1, 1), 0) + i * th - 1
+    rowok = jnp.logical_and(g_row >= 0, g_row < H).astype(jnp.float32)
+    y1 = jnp.concatenate(
+        [y * rowok, jnp.broadcast_to(rowok, (R, W, 1))], axis=-1
+    ).astype(xc.dtype)  # (R, W, C+1)
+    yp = jnp.pad(y1, ((0, 0), (1, 1), (0, 0)))  # W-direction zero pad
+
+    Y9 = jnp.concatenate(
+        [yp[dy:dy + th, dx:dx + W] for dy in range(3) for dx in range(3)],
+        axis=-1,
+    )  # (th, W, 9*(C+1))
+
+    acc = jax.lax.dot_general(
+        Y9.reshape(th * W, 9 * (C + 1)),
+        w19_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    z = _gelu_exact(acc + bdw_ref[0].astype(jnp.float32))
+    out = jax.lax.dot_general(
+        z.astype(xc.dtype),
+        w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0].astype(jnp.float32)
+    o_ref[0] = (xc.astype(jnp.float32) + out.reshape(th, W, -1)).astype(o_ref.dtype)
+
+
+def build_w19(w1, b1, dw):
+    """(C, HID), (HID,), (3, 3, HID) -> (9*(C+1), HID) stacked tap matrix."""
+    C, HID = w1.shape
+    dw9 = dw.reshape(9, HID)
+    blocks = []
+    for t in range(9):
+        blocks.append(w1 * dw9[t][None, :])
+        blocks.append((b1 * dw9[t])[None, :])
+    return jnp.concatenate(blocks, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "eps", "interpret", "tile_h"))
+def fused_ln_ffn_v2(x, H: int, W: int, gamma, beta, w1, b1, dw, bdw, w2, b2,
+                    eps: float = 1e-6, interpret: bool = False,
+                    tile_h: int = None):
+    """Tap-matmul variant of `fused_ln_ffn` (same signature/semantics)."""
+    B, N, C = x.shape
+    assert N == H * W, (N, H, W)
+    HID = w1.shape[1]
+    if tile_h is not None:
+        assert H % tile_h == 0
+        th = tile_h
+    else:
+        th = None
+        for cand in (16, 8, 4):
+            # VMEM budget: Y9 tile (th, W, 9(C+1)) bf16 + f32 accumulator
+            if H % cand == 0 and (
+                cand * (W + 2) * 9 * (C + 1) * 2 + cand * W * HID * 4
+            ) <= 24 * 2**20:
+                th = cand
+                break
+    assert th is not None, f"H={H} not divisible by 4"
+    x4 = x.reshape(B, H, W, C)
+    grid = (B, H // th)
+    n_tiles = H // th
+
+    cur = lambda b, i: (b, i, 0, 0)
+    prev = lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0)
+    nxt = lambda b, i: (b, jnp.minimum(i + 1, n_tiles - 1), 0, 0)
+
+    blk = pl.BlockSpec((1, th, W, C), cur, memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda b, i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    gamma2, beta2 = gamma.reshape(1, C), beta.reshape(1, C)
+    bdw2, b2_2 = bdw.reshape(1, HID), b2.reshape(1, C)
+    w19 = build_w19(w1, b1, dw).astype(x.dtype)
+    out = pl.pallas_call(
+        functools.partial(_kernel_v2, eps=float(eps), th=th, H=H),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, th, W, C), prev, memory_space=pltpu.VMEM),
+            blk,
+            pl.BlockSpec((1, th, W, C), nxt, memory_space=pltpu.VMEM),
+            full(gamma2), full(beta2), full(w19), full(bdw2),
+            full(w2), full(b2_2),
+        ],
+        out_specs=blk,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * (9 * (C + 1)) * HID + 2 * B * N * HID * C,
+            bytes_accessed=2 * B * N * C * x.dtype.itemsize,
+            transcendentals=B * N * HID,
+        ),
+        interpret=interpret,
+    )(x4, x4, x4, gamma2, beta2, w19, bdw2, w2, b2_2)
+    return out.reshape(B, N, C)
+
+
+# ---------------------------------------------------------------------------
 # Differentiable wrapper: fused forward kernel + recompute backward
 # ---------------------------------------------------------------------------
 

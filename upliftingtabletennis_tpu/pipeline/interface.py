@@ -138,19 +138,23 @@ class _Detector:
                 return heat
 
             def postprocess(images):
-                """Shared tail of every predict body: float32, resize to the
-                model input res, normalize, optional bf16, forward, peaks.
-                The pure-scale resize (jax.image.resize, antialias off) is
-                exactly cv2 INTER_LINEAR (half-pixel centers) and lowers to
-                dense XLA ops — the general affine gather path costs
+                """Shared tail of every predict body: resize to the model
+                input res, normalize, optional bf16, forward, peaks. The
+                resize keeps cv2 INTER_LINEAR half-pixel semantics but runs
+                as rational-group 2-tap matmuls (ops/resize.py) — the
+                jax.image.resize dense lowering cost 42 ms/slab (1.5 TFLOP)
+                in the round-4 trace; the general affine gather path costs
                 seconds/chunk on TPU (gathers don't vectorize). Skipped
                 when frames already arrive at model resolution (the
                 upload_res="model" host-downscale path)."""
-                x = images.astype(jnp.float32)
-                if x.shape[1:3] != (MH, MW):
-                    x = jax.image.resize(
-                        x, (x.shape[0], MH, MW, x.shape[-1]), "bilinear", antialias=False
+                if images.shape[1:3] != (MH, MW):
+                    from upliftingtabletennis_tpu.ops.resize import (
+                        resize_bilinear_down,
                     )
+
+                    x = resize_bilinear_down(images, MH, MW)
+                else:
+                    x = images.astype(jnp.float32)
                 x = normalize_image(x)
                 if half:
                     x = x.astype(jnp.bfloat16)
