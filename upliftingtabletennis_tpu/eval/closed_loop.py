@@ -535,6 +535,7 @@ def evaluate_pipeline(store, ckpts, args):
     spin_scores, spin_labels = [], []
     pf_pos3d, pf_cls, pf_lbl, pf_reproj = [], [], [], []
     pf_spread, pf_seed_agree = [], []
+    ball_frame_diag = []
     calib_inliers, calib_reprojs = [], []
     n_valid_frames = 0
     n_evaluated = 0
@@ -584,6 +585,26 @@ def evaluate_pipeline(store, ckpts, args):
             d = np.linalg.norm(out["ball"] - ball_eval[vi], axis=-1)
             ball_px_errs.append(d)
             n_valid_frames += len(vi)
+            # per-frame diagnostics for the heavy-tail hunt (VERDICT r4 #6):
+            # rally id, frame index, distance to rally edges, time to the
+            # nearest bounce, GT position — enough to characterize outliers
+            # offline without re-running the chip
+            # "hits" = first table-bounce time of the rally (-1 if none)
+            hits = np.atleast_1d(np.asarray(sample.get("hits", [-1.0]))[0])
+            bounces = hits[hits >= 0]
+            for fi, err in zip(vi.tolist(), d.tolist()):
+                t_f = float(times[fi]) if fi < len(times) else 0.0
+                dt_bounce = (
+                    float(np.min(np.abs(bounces - t_f)))
+                    if bounces.size else None
+                )
+                ball_frame_diag.append({
+                    "rally": int(ti), "frame": int(fi), "err_px": float(err),
+                    "edge_dist": int(min(fi, T - 1 - fi)),
+                    "dt_bounce_s": dt_bounce,
+                    "gt_x": float(ball_eval[fi, 0]),
+                    "gt_y": float(ball_eval[fi, 1]),
+                })
 
         # table keypoint error vs ground truth (per keypoint too — a single
         # aggregate was too coarse to localize the round-2 failure)
@@ -771,6 +792,9 @@ def evaluate_pipeline(store, ckpts, args):
         res["physfit_pos3d_err_cm_median"] = None
         res["physfit_spin_accuracy"] = None
         res["physfit_spin_macro_f1"] = None
+    if ball_frame_diag and getattr(args, "out", None):
+        with open(os.path.join(args.out, "ball_frame_diag.json"), "w") as f:
+            json.dump(ball_frame_diag, f)
     return res
 
 

@@ -573,10 +573,17 @@ class TableTennisPipeline:
 
         ball_outs, table_outs = [], []
         table_centers = np.arange(0, T, table_stride)
+        # upload lookahead depth 3 (~50 MB of device-resident u8 pieces):
+        # one-piece lookahead stalls the pipeline on every tunnel-bandwidth
+        # burst (the link swings 20-400 MB/s within a rally); a deeper
+        # prefetch queue lets fast bursts run ahead and ride out the slow
+        # spells (BENCH r5: i420 e2e measured at upload+compute SERIAL with
+        # single-piece lookahead despite async device_put)
+        LOOKAHEAD = 3
         pieces_dev = [make_piece(0)]
         for k in range(n_pieces):
-            if k + 1 < n_pieces:  # issue next upload before this dispatch
-                pieces_dev.append(make_piece(k + 1))
+            while len(pieces_dev) < min(k + 1 + LOOKAHEAD, n_pieces):
+                pieces_dev.append(make_piece(len(pieces_dev)))
             c0 = k * chunk
             centers = np.arange(c0, c0 + chunk)
             idx3 = jnp.stack([

@@ -93,6 +93,11 @@ def main(argv=None):
     p.add_argument("--randmiss_prob", type=float, default=0.05)
     p.add_argument("--tablemiss_prob", type=float, default=0.05)
     p.add_argument("--randomize_std", type=float, default=2.0)
+    p.add_argument("--back_view_frac", type=float, default=0.0,
+                   help="fraction of training cameras drawn from behind-the-"
+                        "table azimuths (TT3D back-view enrichment; the "
+                        "reference prior spans one side only, "
+                        "data/synthetic.sample_cameras)")
     p.add_argument("--ema_decay", type=float, default=0.999)
     p.add_argument("--data_dir", type=str, default=None)
     p.add_argument("--ttst_dir", type=str, default=None, help="TTST real data for val_real")
@@ -207,7 +212,8 @@ def main(argv=None):
     # chip's ~4 ms/program floor, dominated round-1's step time.
     def _assemble(key, store, idx, train):
         k1, k2 = jax.random.split(key)
-        sample = SYN.assemble_batch(k1, store, idx, train=train)
+        sample = SYN.assemble_batch(k1, store, idx, train=train,
+                                    back_frac=args.back_view_frac if train else 0.0)
         sample = train_augment(k2, sample, aug_cfg) if train else eval_augment(sample)
         return Batch(
             ball_img=sample["r_img"], table_img=sample["table_img"], mask=sample["mask"],
