@@ -569,7 +569,25 @@ class TableTennisPipeline:
 
         def local3(g, k):
             """Map (padded-)global frame indices into the 3-piece window."""
-            return jnp.asarray(((g // chunk) - k + 1) * chunk + g % chunk, jnp.int32)
+            return (((g // chunk) - k + 1) * chunk + g % chunk).astype(np.int32)
+
+        # The tiny per-piece index arrays are IDENTICAL for every interior
+        # piece (only the first/last clamp differently) — upload each
+        # distinct value once per pipeline and reuse the device handle:
+        # on a congested tunnel every small host->device transfer is an
+        # RPC with tens-of-ms latency, and 2 of them per piece serialized
+        # into the dispatch path.
+        if not hasattr(self, "_idx_cache"):
+            self._idx_cache = {}
+
+        def dev_const(arr):
+            arr = np.ascontiguousarray(arr, np.int32)
+            key = (arr.shape, arr.tobytes())
+            v = self._idx_cache.get(key)
+            if v is None:
+                v = jax.device_put(arr)
+                self._idx_cache[key] = v
+            return v
 
         ball_outs, table_outs = [], []
         table_centers = np.arange(0, T, table_stride)
@@ -586,11 +604,11 @@ class TableTennisPipeline:
                 pieces_dev.append(make_piece(len(pieces_dev)))
             c0 = k * chunk
             centers = np.arange(c0, c0 + chunk)
-            idx3 = jnp.stack([
+            idx3 = dev_const(np.stack([
                 local3(np.maximum(centers - 1, 0), k),
                 local3(centers, k),
                 local3(np.minimum(centers + 1, Tpad - 1), k),
-            ])
+            ]))
             prev_dev = pieces_dev[k - 1] if k > 0 else pieces_dev[0]
             next_dev = pieces_dev[k + 1] if k + 1 < n_pieces else pieces_dev[k]
             in_slab = table_centers[(table_centers >= c0) & (table_centers < c0 + chunk)]
@@ -598,7 +616,7 @@ class TableTennisPipeline:
                 tloc = np.full(chunk, chunk + in_slab[-1] - c0, np.int32)
                 tloc[: len(in_slab)] = chunk + in_slab - c0
                 bm, ba, tm, ta = slab_fn(
-                    prev_dev, pieces_dev[k], next_dev, idx3, jnp.asarray(tloc)
+                    prev_dev, pieces_dev[k], next_dev, idx3, dev_const(tloc)
                 )
                 table_outs.append((tm, ta, len(in_slab)))
             else:  # strided-table piece: ball-only program
