@@ -118,9 +118,12 @@ def main():
     for sname, (B, H, W, C, HID) in SHAPES.items():
         fns = {}
         for mode in ("full", "no_dw", "no_gelu", "no_dwgelu"):
-            fn, args = build(mode, B, H, W, C, HID)
-            np.asarray(jax.tree.leaves(fn(*args))[0][0, 0, 0])  # warm
-            fns[mode] = (fn, args)
+            try:
+                fn, args = build(mode, B, H, W, C, HID)
+                np.asarray(jax.tree.leaves(fn(*args))[0][0, 0, 0])  # warm
+                fns[mode] = (fn, args)
+            except Exception as e:
+                print(f"{sname}/{mode}: BUILD FAILED {type(e).__name__}", flush=True)
         # public v1 vs v2 entry points (flat (B, N, C) input)
         rng = np.random.default_rng(0)
         mk = lambda *s: jnp.asarray(rng.normal(0, 0.02, s), jnp.bfloat16)
@@ -128,9 +131,12 @@ def main():
                     mk(C), mk(C), mk(C, HID), mk(HID), mk(3, 3, HID),
                     mk(HID), mk(HID, C), mk(C))
         for nm, f in (("v1_public", F.fused_ln_ffn), ("v2_public", F.fused_ln_ffn_v2)):
-            fj = lambda f=f: f(*pub_args)
-            np.asarray(fj()[0, 0, 0])
-            fns[nm] = (lambda *a, fj=fj: fj(), (None,))
+            try:
+                fj = lambda f=f: f(*pub_args)
+                np.asarray(fj()[0, 0, 0])
+                fns[nm] = (lambda *a, fj=fj: fj(), (None,))
+            except Exception as e:
+                print(f"{sname}/{nm}: BUILD FAILED {type(e).__name__}", flush=True)
         # interleaved timing, 3 rounds x 5 reps each
         times = {m: [] for m in fns}
         for _ in range(3):
