@@ -110,6 +110,29 @@ def test_calibrate_with_outlier_ransac():
     assert err[3] > 50  # the outlier stays out
 
 
+def test_basin_hop_polish_beats_inlier_refit():
+    """The final basin-hopping L2 polish must bring the calibrated camera
+    close to ground truth at realistic (closed-loop) detector noise.
+
+    Regression for the round-5 finding (tools/probe_calibration_floor.py):
+    LM from the RANSAC inlier refit lands in a nearby local basin ~1.6 px
+    from GT; with the polish the median camera is < 1.2 px vs GT."""
+    errs_gt = []
+    for i in range(6):
+        rng = np.random.default_rng(50 + i)
+        Mint, Mext = _gt_camera(rng)
+        gt = _project(Mint, Mext, 0.0, rng)
+        pts2d = gt + rng.normal(0, 0.9, gt.shape)  # ~1.1 px mean radial
+        vis = np.ones(13)
+        Ki, Ei, _ = C.calibrate_camera(
+            jnp.asarray(pts2d, jnp.float32), jnp.asarray(vis, jnp.float32), RES,
+            jax.random.PRNGKey(10 + i), True, "l1",
+        )
+        proj = np.asarray(world2img(jnp.asarray(TABLE_POINTS), Ei, Ki))
+        errs_gt.append(np.linalg.norm(proj - gt, axis=-1).mean())
+    assert np.median(errs_gt) < 1.2, errs_gt
+
+
 def test_parity_with_reference_bfgs(reference_path):
     """Accuracy parity: our jitted LM vs the reference scipy-BFGS pipeline on
     the same noisy detections."""

@@ -359,7 +359,69 @@ def calibrate_camera(
     Mint, Mext, _ = refine_camera(
         points_3d, points_2d, w_best, resolution, (Mints[best], Mexts[best]), objective
     )
+    Mint, Mext = _basin_hop_polish(
+        points_3d, points_2d, visibility, resolution, Mint, Mext, key
+    )
     return Mint, Mext, n_in[best].astype(jnp.int32)
+
+
+POLISH_RESTARTS = 32
+POLISH_ROUNDS = 2
+
+
+def _basin_hop_polish(points_3d, points_2d, visibility, resolution, Mint, Mext, key):
+    """Final L2 polish with jittered multi-restart basin hopping.
+
+    The 13 table keypoints are near-coplanar, so the refinement landscape
+    around the RANSAC winner has several nearby local minima; LM from the
+    inlier refit reliably lands in one that is ~0.5-1 px (vs ground truth)
+    away from the maximum-likelihood camera. Measured on closed-loop-noise
+    synthetic cameras (tools/probe_calibration_floor.py): RANSAC winner
+    1.67 px reproj vs detections / 1.61 px vs GT; after this polish
+    1.05 / 0.78 — i.e. the polish recovers most of the gap to the GT-start
+    optimum (1.23 / 0.53). Two rounds of 32 vmapped jittered LM restarts
+    (~3% focal, 15 cm translation, 0.6 deg angles) keep the lowest-cost
+    basin; weights are a GENEROUS inlier set under the RANSAC winner
+    (< 2x INLIER_THRESHOLD), so gross detector outliers stay excluded while
+    near-threshold good points rejoin the fit. L2 (not the RANSAC stage's
+    L1-IRLS) because the final estimate is a Gaussian-noise MLE problem.
+    No reference counterpart: the reference stops at the BFGS inlier refit
+    (ref: regress_cameramatrices.py:176-181)."""
+    proj = world2img(points_3d, Mext, Mint)
+    err = jnp.linalg.norm(proj - points_2d, axis=-1)
+    w = ((err < 2.0 * INLIER_THRESHOLD) & (visibility > 0)).astype(points_2d.dtype)
+    # need >= 4 points beyond the 8-param dof to be worth polishing
+    enough = jnp.sum(w) >= 6.0
+
+    def refit_from(x):
+        Mi0, Me0 = _params_to_cams(x, resolution)
+        return refine_camera(points_3d, points_2d, w, resolution, (Mi0, Me0), "l2", 60)
+
+    best_Mi, best_Me, best_res = refit_from(_cams_to_params(Mint, Mext))
+    bx = _cams_to_params(best_Mi, best_Me)
+    for rd in range(POLISH_ROUNDS):
+        ks = jax.random.split(jax.random.fold_in(key, 1000 + rd), POLISH_RESTARTS)
+
+        def one(k):
+            j = jax.random.normal(k, (8,), bx.dtype)
+            x = (
+                bx.at[:2].multiply(1.0 + j[:2] * 0.03)
+                .at[2:5].add(j[2:5] * 0.15)
+                .at[5:8].add(j[5:8] * 0.01)
+            )
+            return refit_from(x)
+
+        Mis, Mes, res = jax.vmap(one)(ks)
+        bi = jnp.argmin(res)
+        better = res[bi] < best_res
+        best_Mi = jnp.where(better, Mis[bi], best_Mi)
+        best_Me = jnp.where(better, Mes[bi], best_Me)
+        best_res = jnp.minimum(res[bi], best_res)
+        bx = _cams_to_params(best_Mi, best_Me)
+
+    Mint = jnp.where(enough, best_Mi, Mint)
+    Mext = jnp.where(enough, best_Me, Mext)
+    return Mint, Mext
 
 
 def calibrate_from_keypoints(keypoints, resolution, use_ransac=True, key=None):
