@@ -7,10 +7,17 @@ Usage (in-repo analogue of torch.hub.load):
 
 Checkpoints are this framework's Orbax directories (utils/checkpoint.py);
 `checkpoints` maps {'ball_main', 'ball_aux', 'table_main', 'table_aux',
-'uplifting'} to paths. The reference auto-downloads a weights zip from the
-internet (ref: interface.py:29-79); this environment has no egress, so
-weights must be provided locally — `weights_root` points at a directory
-with the same sub-layout and is wired through automatically when given.
+'uplifting'} to paths. Weight sources, mirroring the reference's hub
+auto-download (ref: interface.py:29-79):
+
+* `weights_root=<dir>` — a local directory with the reference zip's
+  sub-layout (already ported to Orbax);
+* `weights_url=<zip url>` — the reference's actual flow: the zip is
+  downloaded (https:// — or file:// for a local copy, since this dev
+  environment has no egress), extracted, ported to Orbax
+  (`utils/port_reference_weights.fetch_and_port`), and cached under
+  ~/.cache/upliftingtabletennis_tpu/weights; subsequent calls reuse the
+  cache exactly like the reference's torch.hub checkpoint dir.
 """
 from __future__ import annotations
 
@@ -59,10 +66,18 @@ def uplifting(checkpoint: Optional[str] = None, **kw):
     return UpliftingModel(checkpoint, **kw)
 
 
-def full_pipeline(checkpoints: Optional[dict] = None, weights_root: Optional[str] = None, **kw):
+def full_pipeline(checkpoints: Optional[dict] = None,
+                  weights_root: Optional[str] = None,
+                  weights_url: Optional[str] = None, **kw):
     """Complete video -> 3D + spin pipeline (ref: hubconf.py:27-31)."""
     from upliftingtabletennis_tpu.pipeline import TableTennisPipeline
 
+    if weights_url and weights_root is None:
+        from upliftingtabletennis_tpu.utils.port_reference_weights import (
+            fetch_and_port,
+        )
+
+        weights_root = fetch_and_port(weights_url)
     ck = dict(_checkpoints_from_root(weights_root))
     ck.update(checkpoints or {})
     return TableTennisPipeline(ck, **kw)

@@ -539,3 +539,33 @@ def test_segformerpp_ball_output_parity(ported):
 
 def test_segformerpp_table_output_parity(ported):
     _segformerpp_parity(ported, "spp_table", "table", 3, classify=False, seed=12)
+
+
+def test_fetch_weights_file_url(tmp_path):
+    """The auto-download machinery (ref: interface.py:34-79): zip download
+    (file:// here — no egress in this environment), extraction, wrapping-
+    folder descent, and download-once/extract-once caching semantics."""
+    import os
+    import zipfile
+
+    from upliftingtabletennis_tpu.utils.port_reference_weights import fetch_weights
+
+    # a zip with the reference's single wrapping folder
+    src = tmp_path / "payload" / "tt_weights"
+    (src / "inference_balldetection" / "wasb").mkdir(parents=True)
+    (src / "inference_balldetection" / "wasb" / "model.pt").write_bytes(b"x")
+    zpath = tmp_path / "weights.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in sorted(src.rglob("*")):
+            z.write(p, p.relative_to(tmp_path / "payload"))
+
+    cache = tmp_path / "cache"
+    root = fetch_weights(f"file://{zpath}", cache_dir=str(cache))
+    # descended through the wrapping folder to the layout root
+    assert os.path.isfile(
+        os.path.join(root, "inference_balldetection", "wasb", "model.pt")
+    )
+    # caching: the source zip can disappear, the cache still serves
+    zpath.unlink()
+    root2 = fetch_weights(f"file://{tmp_path}/weights.zip", cache_dir=str(cache))
+    assert root2 == root

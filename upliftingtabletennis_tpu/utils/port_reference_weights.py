@@ -203,19 +203,14 @@ _LAYOUT = (
 )
 
 
-def main(argv=None) -> Dict[str, str]:
-    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    p.add_argument("--src", required=True,
-                   help="unzipped reference weights directory")
-    p.add_argument("--dst", required=True,
-                   help="output root (same sub-layout, Orbax checkpoints)")
-    args = p.parse_args(argv)
-
+def port_tree(src: str, dst: str) -> Dict[str, str]:
+    """Walk an unzipped reference weights tree and write the same relative
+    layout as Orbax checkpoints. Returns {relpath: status}."""
     from upliftingtabletennis_tpu.utils.checkpoint import save_checkpoint
 
     results: Dict[str, str] = {}
     for sub, kind, task in _LAYOUT:
-        root = os.path.join(args.src, sub)
+        root = os.path.join(src, sub)
         if not os.path.isdir(root):
             continue
         for entry in sorted(os.listdir(root)):
@@ -228,12 +223,119 @@ def main(argv=None) -> Dict[str, str]:
                     tree, ident, info = port_uplifting_checkpoint(pt)
                 else:
                     tree, ident, info, _ = port_detector_checkpoint(pt, task)
-                save_checkpoint(os.path.join(args.dst, rel), tree, ident, info)
+                save_checkpoint(os.path.join(dst, rel), tree, ident, info)
                 results[rel] = "ok"
             except UnsupportedCheckpoint as e:
                 results[rel] = f"skipped: {e}"
             except Exception as e:  # keep walking; report at the end
                 results[rel] = f"FAILED: {type(e).__name__}: {e}"
+    return results
+
+
+def fetch_weights(url: str, cache_dir: Optional[str] = None,
+                  force: bool = False) -> str:
+    """Download + extract the reference weights zip; return the layout root.
+
+    The TPU-native equivalent of the reference's hub auto-download
+    (ref: interface.py:34-79): same caching semantics — the zip is
+    downloaded once into `cache_dir`, extracted once, and subsequent calls
+    return the cached extraction immediately. `url` is anything urllib
+    opens (https://, file://, or a bare local path), so the machinery is
+    fully testable without egress (tests/test_port_reference_weights.py
+    exercises it through a file:// zip). The returned root is the
+    directory that actually contains the reference layout
+    (inference_*/...), descending through a single wrapping folder the way
+    the reference's EXTRACTED_FOLDER_NAME does.
+    """
+    import urllib.parse
+    import urllib.request
+    import zipfile
+
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "upliftingtabletennis_tpu", "weights"
+        )
+    os.makedirs(cache_dir, exist_ok=True)
+    if "://" not in url:
+        url = "file://" + os.path.abspath(url)
+    name = os.path.basename(urllib.parse.urlparse(url).path) or "weights.zip"
+    zip_path = os.path.join(cache_dir, name)
+    extract_path = os.path.join(cache_dir, name + ".extracted")
+
+    def _layout_root(path):
+        # ignore zip junk and any .orbax tree a previous fetch_and_port
+        # placed beside the layout folder
+        entries = [e for e in os.listdir(path)
+                   if not e.startswith("__MACOSX") and not e.endswith(".orbax")]
+        if any(e.startswith(("inference_", "pretraining_", "initialization"))
+               for e in entries):
+            return path
+        if len(entries) == 1 and os.path.isdir(os.path.join(path, entries[0])):
+            return _layout_root(os.path.join(path, entries[0]))
+        return path
+
+    if force:
+        for p in (zip_path, extract_path):
+            if os.path.isdir(p):
+                import shutil
+
+                shutil.rmtree(p)
+            elif os.path.isfile(p):
+                os.remove(p)
+    if os.path.isdir(extract_path):
+        return _layout_root(extract_path)
+    if not os.path.isfile(zip_path):
+        print(f"[fetch_weights] downloading {url} -> {zip_path}")
+        tmp = zip_path + ".part"
+        with urllib.request.urlopen(url) as r, open(tmp, "wb") as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        os.replace(tmp, zip_path)
+    print(f"[fetch_weights] extracting {zip_path}")
+    tmp_extract = extract_path + ".part"
+    with zipfile.ZipFile(zip_path) as z:
+        z.extractall(tmp_extract)
+    os.replace(tmp_extract, extract_path)
+    return _layout_root(extract_path)
+
+
+def fetch_and_port(url: str, dst: Optional[str] = None,
+                   cache_dir: Optional[str] = None,
+                   force: bool = False) -> str:
+    """fetch_weights + port_tree with a cache: returns the Orbax weights
+    root, porting only when the destination does not exist yet."""
+    src = fetch_weights(url, cache_dir, force)
+    if dst is None:
+        dst = src + ".orbax"
+    done_marker = os.path.join(dst, ".ported_ok")
+    if not force and os.path.isfile(done_marker):
+        return dst
+    results = port_tree(src, dst)
+    n_ok = sum(1 for s in results.values() if s == "ok")
+    if n_ok:
+        with open(done_marker, "w") as f:
+            f.write("\n".join(f"{k}\t{v}" for k, v in results.items()))
+    for rel, status in results.items():
+        print(f"{rel}  {status}")
+    return dst
+
+
+def main(argv=None) -> Dict[str, str]:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--src", help="unzipped reference weights directory")
+    g.add_argument("--url", help="weights zip URL (https:// or file://) — "
+                                 "downloaded + extracted with the reference's "
+                                 "caching semantics (ref: interface.py:34-79)")
+    p.add_argument("--dst", required=True,
+                   help="output root (same sub-layout, Orbax checkpoints)")
+    args = p.parse_args(argv)
+
+    src = args.src if args.src else fetch_weights(args.url)
+    results = port_tree(src, args.dst)
 
     width = max((len(k) for k in results), default=0)
     for rel, status in results.items():
