@@ -536,6 +536,7 @@ def evaluate_pipeline(store, ckpts, args):
     pf_pos3d, pf_cls, pf_lbl, pf_reproj = [], [], [], []
     pf_spread, pf_seed_agree = [], []
     ball_frame_diag = []
+    rally_diag = []
     calib_inliers, calib_reprojs = [], []
     n_valid_frames = 0
     n_evaluated = 0
@@ -624,9 +625,21 @@ def evaluate_pipeline(store, ckpts, args):
         calib_reprojs.append(reproj)
 
         # 3D trajectory error vs physics, spin class vs physics
+        d3 = None
         if out["pos3d"] is not None and len(out["pos3d"]) == len(vi):
             d3 = np.linalg.norm(out["pos3d"] - r_world[vi], axis=-1)
             pos3d_errs.append(d3)
+        # per-rally diagnostics: localizes tails (e.g. which rallies carry
+        # the calib mean>>median gap) without re-running the chip
+        rally_diag.append({
+            "rally": int(ti), "T": T, "n_frames": int(len(vi)),
+            "n_kp_visible": int(np.sum(vis_kp)), "n_inliers": int(n_inl),
+            "calib_reproj_px": float(reproj),
+            "table_px_mean": (float(np.mean(dt)) if vis_kp.any() else None),
+            "pos3d_err_cm_median": (
+                float(100 * np.median(d3)) if d3 is not None else None
+            ),
+        })
         w_local = np.asarray(
             transform_rotation_axes(jnp.asarray(rotation), jnp.asarray(r_world))
         )
@@ -795,6 +808,9 @@ def evaluate_pipeline(store, ckpts, args):
     if ball_frame_diag and getattr(args, "out", None):
         with open(os.path.join(args.out, "ball_frame_diag.json"), "w") as f:
             json.dump(ball_frame_diag, f)
+    if rally_diag and getattr(args, "out", None):
+        with open(os.path.join(args.out, "rally_diag.json"), "w") as f:
+            json.dump(rally_diag, f, indent=1)
     return res
 
 

@@ -310,12 +310,19 @@ class TableDetector(_Detector):
         return filters.filter_trajectory_table(pred1, pred2)
 
     @staticmethod
-    def calibrate_camera(keypoints):
-        """(13, 3) keypoints at 1920x1080 -> (Mint, Mext, num_inliers)."""
+    def calibrate_camera(keypoints, resolution=None):
+        """(13, 3) keypoints -> (Mint, Mext, num_inliers).
+
+        `resolution` is the (W, H) of the frame the keypoints live in —
+        the 8-parameter camera model pins its principal point at that
+        frame's center, so a wrong resolution skews every fit (see
+        run_rally). Defaults to the reference's fixed uplifting frame
+        (ref: geometry WIDTH x HEIGHT = 2560x1440)."""
+        res = tuple(int(v) for v in resolution) if resolution else (WIDTH, HEIGHT)
         Mint, Mext, n = _calibrate(
             jnp.asarray(keypoints[:, :2], jnp.float32),
             jnp.asarray(keypoints[:, 2], jnp.float32),
-            (WIDTH, HEIGHT),
+            res,
             jax.random.PRNGKey(42),
             True,
         )
@@ -513,6 +520,14 @@ class TableTennisPipeline:
             frames = np.stack([np.asarray(im) for im in images])
             if frames.dtype != np.uint8:
                 frames = frames.astype(np.uint8)
+        # record the caller's frame geometry: detections are returned in
+        # THIS frame, so `calibrate_camera` must pin its principal point at
+        # this frame's center (not the reference's fixed 2560x1440 — a
+        # 1080p rally would otherwise be calibrated around a center that is
+        # (320, 180) px off; per-rally repro: good 1-px detections degraded
+        # to 0.8-4.7 px reprojection / 8-12 inliers on hard poses)
+        _h0 = frames.shape[1] * 2 // 3 if pixel_format == "i420" else frames.shape[1]
+        self._last_frame_res = (int(frames.shape[2]), int(_h0))
         if upload_res == "model":
             dets = (self.ball_detector, self.ball_detector_aux,
                     self.table_detector, self.table_detector_aux)
@@ -665,8 +680,13 @@ class TableTennisPipeline:
         out = self.run_rally(images, fps, table_stride, pixel_format, upload_res)
         return out["spin"], out["pos3d"]
 
-    def calibrate_camera(self, keypoints):
-        return TableDetector.calibrate_camera(np.asarray(keypoints))
+    def calibrate_camera(self, keypoints, resolution=None):
+        """Calibrate from fused table keypoints. `resolution` defaults to
+        the frame size of the last `run_rally`/`predict` call — the frame
+        the pipeline's detections (and therefore `keypoints`) live in."""
+        if resolution is None:
+            resolution = getattr(self, "_last_frame_res", None)
+        return TableDetector.calibrate_camera(np.asarray(keypoints), resolution)
 
     def fit_physics(self, ball, times, Mint, Mext, *, init=None, **fit_kw):
         """Training-free physics-exact alternative / refinement for the
