@@ -132,3 +132,34 @@ def test_fused_ffn_v2_boundary_rows_zero_padded():
                           p["dw"], p["bdw"], p["w2"], p["b2"], interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_fused_ffn_v3_matches_unfused():
+    """Row-tap-matmul variant (dy taps stacked along lanes, dx shifts as
+    adds — the Mosaic-compatible v2 restructure)."""
+    from upliftingtabletennis_tpu.ops.fused_ffn import fused_ln_ffn_v3
+
+    rng = np.random.default_rng(4)
+    for B, H, W, C, HID in [(2, 16, 12, 32, 128), (1, 12, 7, 16, 64)]:
+        x = jnp.asarray(rng.normal(size=(B, H * W, C)), jnp.float32)
+        p = _params(rng, C, HID)
+        ref = unfused(x, H, W, **p)
+        got = fused_ln_ffn_v3(x, H, W, p["gamma"], p["beta"], p["w1"],
+                              p["b1"], p["dw"], p["bdw"], p["w2"], p["b2"],
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_fused_ffn_v3_boundary_rows_zero_padded():
+    from upliftingtabletennis_tpu.ops.fused_ffn import fused_ln_ffn_v3
+
+    rng = np.random.default_rng(5)
+    B, H, W, C, HID = 1, 8, 6, 8, 32
+    x = jnp.ones((B, H * W, C), jnp.float32)
+    p = _params(rng, C, HID)
+    ref = unfused(x, H, W, **p)
+    got = fused_ln_ffn_v3(x, H, W, p["gamma"], p["beta"], p["w1"], p["b1"],
+                          p["dw"], p["bdw"], p["w2"], p["b2"], interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)

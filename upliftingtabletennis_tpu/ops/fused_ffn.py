@@ -199,12 +199,15 @@ def _kernel_v2(xp_ref, xc_ref, xn_ref, g_ref, b_ref, w19_ref, bdw_ref,
 
     # in-image row mask (the depthwise conv zero-pads the hidden tensor at
     # image boundaries; masking y AND the indicator channel before the
-    # shifts is algebraically identical — see the derivation above)
-    g_row = jax.lax.broadcasted_iota(jnp.int32, (R, 1, 1), 0) + i * th - 1
+    # shifts is algebraically identical — see the derivation above).
+    # NB: the mask must be MATERIALIZED at (R, W, 1) — a lane-dim concat
+    # whose operand is a broadcast of an (R, 1, 1) value crashes the
+    # Mosaic compiler (the round-5 "v2 blocked" bug; bisected 2026-08-21:
+    # shifted-slice concats and K=195 matmuls all compile, the broadcast
+    # operand was the trigger).
+    g_row = jax.lax.broadcasted_iota(jnp.int32, (R, W, 1), 0) + i * th - 1
     rowok = jnp.logical_and(g_row >= 0, g_row < H).astype(jnp.float32)
-    y1 = jnp.concatenate(
-        [y * rowok, jnp.broadcast_to(rowok, (R, W, 1))], axis=-1
-    ).astype(xc.dtype)  # (R, W, C+1)
+    y1 = jnp.concatenate([y * rowok, rowok], axis=-1).astype(xc.dtype)  # (R, W, C+1)
     yp = jnp.pad(y1, ((0, 0), (1, 1), (0, 0)))  # W-direction zero pad
 
     Y9 = jnp.concatenate(
@@ -293,6 +296,147 @@ def fused_ln_ffn_v2(x, H: int, W: int, gamma, beta, w1, b1, dw, bdw, w2, b2,
         ),
         interpret=interpret,
     )(x4, x4, x4, gamma2, beta2, w19, bdw2, w2, b2_2)
+    return out.reshape(B, N, C)
+
+
+# ---------------------------------------------------------------------------
+# v3: row-tap matmul kernel — the Mosaic-compatible restructure of v2
+# ---------------------------------------------------------------------------
+#
+# v2 is blocked by a Mosaic compiler bug: lane-dim concatenation of
+# sublane-SHIFTED slices (the dx shifts along W) crashes the remote
+# compiler (PERF.md round-5 kernel analysis). v3 keeps v2's algebra but
+# splits the 9 taps as 3 (row) x 3 (col):
+#
+#   dw3x3(h) = sum_dx shift_dx( Y3 @ W3_dx ),   h = fc1(LN(x)) masked
+#
+# where Y3 concatenates the 3 dy-shifted copies of [masked LN(x), mask]
+# along lanes — dy shifts move the LEADING (untiled) dim only, so the
+# concat is sublane-unshifted and compiles — and W3_dx stacks
+# [W1 * dw(dy,dx); b1 * dw(dy,dx)] over dy into a (3*(C+1), HID) matrix.
+# The dx shifts survive only as sublane-shifted slices feeding ADDS,
+# exactly the pattern v1's tap loop already compiles. Net: the 9-tap VPU
+# loop becomes 3 MXU matmuls at K = 3*(C+1) (= 195 at stage-1: ~2.3x
+# v1's K=64 lane occupancy) + 2 vector adds.
+
+
+def _kernel_v3(xp_ref, xc_ref, xn_ref, g_ref, b_ref, w3_ref, bdw_ref,
+               w2_ref, b2_ref, o_ref, *, eps: float, th: int, H: int):
+    i = pl.program_id(1)
+    xc = xc_ref[0]  # (th, W, C)
+    top = xp_ref[0, -1:]
+    bot = xn_ref[0, :1]
+    x = jnp.concatenate([top, xc, bot], axis=0)  # (R, W, C)
+    R, W, C = x.shape
+
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+
+    # materialized (R, W, 1) mask — see the Mosaic-bug note in _kernel_v2
+    g_row = jax.lax.broadcasted_iota(jnp.int32, (R, W, 1), 0) + i * th - 1
+    rowok = jnp.logical_and(g_row >= 0, g_row < H).astype(jnp.float32)
+    y1 = jnp.concatenate([y * rowok, rowok], axis=-1).astype(xc.dtype)  # (R, W, C+1)
+    yp = jnp.pad(y1, ((0, 0), (1, 1), (0, 0)))  # (R, W+2, C+1)
+
+    # dy-shifted slices move only the leading dim — lane concat compiles
+    Y3 = jnp.concatenate([yp[dy:dy + th] for dy in range(3)], axis=-1)
+    Y3 = Y3.reshape(th * (W + 2), 3 * (C + 1))
+
+    HID = w2_ref.shape[0]
+    acc = jnp.zeros((th, W, HID), jnp.float32)
+    for dx in range(3):
+        a = jax.lax.dot_general(
+            Y3,
+            w3_ref[dx],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(th, W + 2, HID)
+        # sublane-shifted slice feeding an ADD — the v1-proven pattern
+        acc = acc + a[:, dx:dx + W]
+    z = _gelu_exact(acc + bdw_ref[0].astype(jnp.float32))
+    out = jax.lax.dot_general(
+        z.reshape(th * W, HID).astype(xc.dtype),
+        w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0].astype(jnp.float32)
+    o_ref[0] = (xc.astype(jnp.float32) + out.reshape(th, W, -1)).astype(o_ref.dtype)
+
+
+def build_w3(w1, b1, dw):
+    """(C, HID), (HID,), (3, 3, HID) -> (3, 3*(C+1), HID): per-dx stacked
+    [W1 * dw(dy,dx); b1 * dw(dy,dx)] over dy."""
+    C, HID = w1.shape
+    cols = []
+    for dx in range(3):
+        blocks = []
+        for dy in range(3):
+            d = dw[dy, dx]
+            blocks.append(w1 * d[None, :])
+            blocks.append((b1 * d)[None, :])
+        cols.append(jnp.concatenate(blocks, axis=0))
+    return jnp.stack(cols, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "eps", "interpret", "tile_h"))
+def fused_ln_ffn_v3(x, H: int, W: int, gamma, beta, w1, b1, dw, bdw, w2, b2,
+                    eps: float = 1e-6, interpret: bool = False,
+                    tile_h: int = None):
+    """Row-tap-matmul variant of `fused_ln_ffn` (same signature/semantics)."""
+    B, N, C = x.shape
+    assert N == H * W, (N, H, W)
+    HID = w1.shape[1]
+    if tile_h is not None:
+        assert H % tile_h == 0
+        th = tile_h
+    else:
+        th = None
+        for cand in (16, 8, 4):
+            # VMEM: Y3 (th, W+2, 3(C+1)) bf16 + per-dx f32 matmul result +
+            # f32 accumulator (th, W(+2), HID) x2
+            if H % cand == 0 and (
+                cand * (W + 2) * 3 * (C + 1) * 2
+                + 2 * cand * (W + 2) * HID * 4
+            ) <= 24 * 2**20:
+                th = cand
+                break
+    assert th is not None, f"H={H} not divisible by 4"
+    x4 = x.reshape(B, H, W, C)
+    grid = (B, H // th)
+    n_tiles = H // th
+
+    cur = lambda b, i: (b, i, 0, 0)
+    prev = lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0)
+    nxt = lambda b, i: (b, jnp.minimum(i + 1, n_tiles - 1), 0, 0)
+
+    blk = pl.BlockSpec((1, th, W, C), cur, memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda b, i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    gamma2, beta2 = gamma.reshape(1, C), beta.reshape(1, C)
+    bdw2, b2_2 = bdw.reshape(1, HID), b2.reshape(1, C)
+    w3 = build_w3(w1, b1, dw).astype(x.dtype)
+    out = pl.pallas_call(
+        functools.partial(_kernel_v3, eps=float(eps), th=th, H=H),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, th, W, C), prev, memory_space=pltpu.VMEM),
+            blk,
+            pl.BlockSpec((1, th, W, C), nxt, memory_space=pltpu.VMEM),
+            full(gamma2), full(beta2), full(w3), full(bdw2),
+            full(w2), full(b2_2),
+        ],
+        out_specs=blk,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * (9 * (C + 1)) * HID + 2 * B * N * HID * C,
+            bytes_accessed=2 * B * N * C * x.dtype.itemsize,
+            transcendentals=B * N * HID,
+        ),
+        interpret=interpret,
+    )(x4, x4, x4, gamma2, beta2, w3, bdw2, w2, b2_2)
     return out.reshape(B, N, C)
 
 
