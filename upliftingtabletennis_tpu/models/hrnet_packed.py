@@ -130,19 +130,44 @@ class _P:
         return w, (b.astype(self.dtype) if b is not None else None)
 
 
-def _conv(x, w, b, G, stride=1, relu=False):
-    """Block-diagonal lane-packed conv (+bias, optional relu). `x` is
-    already packed at G; `w` is the unpacked (kh, kw, Ci, Co) kernel."""
-    pad = (w.shape[0] // 2, w.shape[0] // 2)
+# Fused conv+bias+relu(+residual) Pallas path (ops/fused_conv.py): XLA on
+# TPU does not fuse elementwise epilogues into convolutions, so every conv
+# output round-trips HBM once extra (the 152 ms/slab-8 "bias+relu+copies"
+# roofline line, PERF.md round 5). Flag-gated: flipped on only where the
+# full-slab A/B on the chip proves a win.
+FUSED_CONV = False
+
+
+def _conv(x, w, b, G, stride=1, relu=False, residual=None):
+    """Block-diagonal lane-packed conv (+bias, optional relu, optional
+    fused residual add). `x` is already packed at G; `w` is the unpacked
+    (kh, kw, Ci, Co) kernel."""
+    kh = w.shape[0]
+    if FUSED_CONV and stride == 1 and kh in (1, 3):
+        from upliftingtabletennis_tpu.ops import fused_conv as fc
+
+        B, H, W, _ = x.shape
+        Cig, Cog = G * w.shape[2], G * w.shape[3]
+        interp = jax.default_backend() != "tpu"
+        bt = jnp.tile(b, G) if b is not None else None
+        if kh == 3 and fc.fusable_3x3(H, W, Cig, Cog, stride):
+            return fc.conv3x3_bias_act(x, _block_diag(w, G), bt, residual,
+                                       relu=relu, interpret=interp)
+        if kh == 1 and fc.fusable_1x1(H, W, Cig, Cog, stride):
+            return fc.conv1x1_bias_act(x, _block_diag(w, G)[0, 0], bt,
+                                       residual, relu=relu, interpret=interp)
+    pad = (kh // 2, kh // 2)
     y = jax.lax.conv_general_dilated(
         x,
         _block_diag(w, G),
         (stride, stride),
-        [pad, pad] if w.shape[0] > 1 else "VALID",
+        [pad, pad] if kh > 1 else "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     if b is not None:
         y = y + jnp.tile(b, G)
+    if residual is not None:
+        y = y + residual
     return jax.nn.relu(y) if relu else y
 
 
@@ -156,13 +181,13 @@ def _basic_block(x, blk: _P, Ci, Co, G):
     w1, b1 = blk.conv_bn("conv1", "bn1")
     w2, b2 = blk.conv_bn("conv2", "bn2")
     y = _conv(x, w1, b1, G, relu=True)
-    y = _conv(y, w2, b2, G)
     if Ci != Co:
         wd, bd = blk.conv_bn("downsample_0", "downsample_1")
         res = _conv(x, wd, bd, G)
     else:
         res = x
-    return jax.nn.relu(y + res)
+    # residual add + relu ride the second conv's fused epilogue
+    return _conv(y, w2, b2, G, relu=True, residual=res)
 
 
 def hrnet_packed_apply(variables, x, out_channels, root="model", max_stage=4):
